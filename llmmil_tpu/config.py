@@ -1,0 +1,201 @@
+"""Typed experiment configuration.
+
+Mirrors the semantics of the reference argparse namespace
+(``/root/reference/config.py:10-142``) as a frozen dataclass: every flag the
+reference exposes is a field with the same name and default, so launch
+commands translate 1:1.  A CLI parser (:func:`create_arg_parser`) builds the
+same namespace for the train/test scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Sequence
+
+
+def arg_as_list(s: str) -> list:
+    """Parse a python-literal list flag (reference ``config.py:4-8``)."""
+    v = ast.literal_eval(s)
+    if type(v) is not list:
+        raise argparse.ArgumentTypeError(f'Argument "{s}" is not a list')
+    return v
+
+
+DEFAULT_CLINICAL_FEATURES = [
+    "sex", "age", "sm", "locationcancer", "cancerimaging",
+    "cancerimagingT", "cancerimagingN", "cancerimagingM",
+    "classification_cancer",
+]
+
+
+@dataclass(frozen=True)
+class Config:
+    """All experiment knobs.  Field names/defaults match the reference flags
+    (``config.py:14-138``); TPU-specific fields are grouped at the bottom."""
+
+    # ---- cohort / folds (config.py:14-19) ----
+    hospital_test: List[str] = field(
+        default_factory=lambda: ["EUMC", "HUMC", "SCHMC"])
+    kfold_num: int = 4
+    val_fold: int = 0
+
+    # ---- eval mode (config.py:21-22) ----
+    mode: str = "test"
+    best_thres: float = 0.5
+
+    # ---- CT geometry (config.py:24-26) ----
+    resampleXY: int = 1
+    spacing: List[float] = field(default_factory=lambda: [0.6869, 0.6869, 3.0])
+    tumorCrop: int = 0
+
+    # ---- data paths (config.py:30-52) ----
+    type: str = "Biopsy+Resection"
+    test_type: str = "Biopsy+Resection"
+    path_data_CT: str = "data/CT"
+    path_feature_CT: str = "data/CT/SwinUNETR_feature"
+    path_data_pathology: str = "data/Pathology_feature"
+    path_data_excel: str = "data/Clinical_excel"
+    path_data_mask: str = "data/CT/TumorMask"
+    clinical_features: List[str] = field(
+        default_factory=lambda: list(DEFAULT_CLINICAL_FEATURES))
+    pathology_info_version: str = "v1"
+
+    # ---- modality / model selection (config.py:54-61) ----
+    modality: List[str] = field(default_factory=lambda: ["CT", "pathology"])
+    alignment_base: str = "none"       # CT | pathology | CI | none
+    model_CT: str = "resnetMC3_18"     # resnetMC3_18 | medicalNet | SwinUNETR | MViT | resnet2plus1d_18
+    model_pathology: str = "TransMIL"  # ABMIL | ABMIL_v2 | TransMIL
+    CI_input_version: str = "v1"       # v1 | v2 | text
+    CI_prompt_version: str = "single"  # single | devided
+    model_CI: str = "simpleFCs_v1"     # simpleFCs_v{1,1d,2,2d} | CLIP
+    aggregator: str = "TransMIL"       # ABMIL | ABMIL_v2 | TransMIL | TransMIL_seperate | -
+
+    # ---- prompts (config.py:63-67) ----
+    learnablePrompt: int = 1
+    n_ctx: int = 8
+    n_prompts: int = 2
+    prompt_len: int = 0
+
+    # ---- misc data (config.py:69-73) ----
+    data_integration: int = 0
+    augmentation: int = 1
+    cancerstageTrain: str = "1234"
+    cancerstageTest: str = "1234"
+
+    # ---- pretrain / model shape (config.py:75-79) ----
+    pretrain: bool = True
+    pretrained_weights: str = "DEFAULT"
+    dim: str = "3d"
+    num_classes: int = 2
+    activationF: str = "sigmoid"
+
+    # ---- training (config.py:81-101,118-125) ----
+    start_epoch: int = 0
+    n_epochs: int = 1000
+    resume: str = ""
+    pretrainedExt_CT: int = 0
+    pretrainedExt_CT_pth: str = ""
+    pretrainedExt_pathology: int = 0
+    pretrainedExt_pathology_pth: str = ""
+    pretrainedExt_CI: int = 0
+    pretrainedExt_CI_pth: str = ""
+    pretrainedExt_freeze: int = 1
+    weight_decay: float = 5e-4
+    lr: float = 1e-5
+    loss: str = "BCE"                 # BCE | CS | BCE+CS | BCE+CLIP
+    loss_point: str = "CT-Pth-Last"   # CT-Pth-Last | Last
+    schedule: List[int] = field(default_factory=lambda: [500])
+    b1: float = 0.9
+    b2: float = 0.999
+    seed: int = 1234
+    iter_per_epoch: int = 100
+    val_iter_per_epoch: int = 50
+    batch_size: int = 8
+    num_workers: int = 4
+    save_best: bool = False
+    cos: bool = False
+
+    # ---- labels (config.py:127-133) ----
+    survival_type: str = "OS"
+    year: int = 5
+    label: str = "5yOS"
+
+    # ---- eval / analysis (config.py:135-138) ----
+    test_pth: str | None = None
+    watch_ID: str = "A000000"
+    map_type: str = "saliencyMap"
+
+    # ---- CLIP text tower size (ViT-B/32 text defaults; shrinkable for
+    # tests / dry runs) ----
+    clip_vocab: int = 49408
+    clip_context: int = 77
+    clip_width: int = 512
+    clip_heads: int = 8
+    clip_layers: int = 12
+    clip_embed: int = 512
+
+    # ---- TPU-native additions (no reference counterpart) ----
+    mesh_shape: List[int] = field(default_factory=lambda: [-1])
+    mesh_axes: List[str] = field(default_factory=lambda: ["data"])
+    compute_dtype: str = "bfloat16"    # dtype of matmul/conv compute path
+    param_dtype: str = "float32"
+    bag_buckets: List[int] = field(
+        default_factory=lambda: [512, 1024, 2048, 4096, 8192, 16384])
+    use_pallas: bool = True            # fused Pallas kernels on TPU
+    ct_shape: List[int] = field(default_factory=lambda: [160, 512, 512])
+    save_dir: str = "results"
+    log_every: int = 10
+
+    # ------------------------------------------------------------------
+    @property
+    def n_clinical(self) -> int:
+        return len(self.clinical_features)
+
+    @property
+    def bag_max(self) -> int:
+        """Fixed max bag length for batch>1 (reference dataset.py:383-391)."""
+        return 14880 if self.path_data_pathology.endswith("_sn") else 15592
+
+    @property
+    def ct_hw(self) -> int:
+        """CT in-plane size as a function of spacing (dataset.py:301-308)."""
+        return 224 if self.spacing[0] == 2.0 else 512
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+def create_arg_parser() -> argparse.ArgumentParser:
+    """CLI mirroring the reference flag surface (``config.py:10-142``)."""
+    p = argparse.ArgumentParser()
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        default = (f.default_factory() if f.default_factory
+                   is not dataclasses.MISSING else f.default)
+        if isinstance(default, list):
+            p.add_argument(name, default=default, type=arg_as_list)
+        elif isinstance(default, bool):
+            p.add_argument(name, default=default,
+                           action="store_true" if not default else
+                           argparse.BooleanOptionalAction)
+        elif default is None:
+            p.add_argument(name, default=None, type=str)
+        else:
+            p.add_argument(name, default=default, type=type(default))
+    return p
+
+
+def parse_config(argv: Sequence[str] | None = None) -> Config:
+    ns = create_arg_parser().parse_args(argv)
+    return Config(**vars(ns))

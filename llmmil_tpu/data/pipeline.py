@@ -1,0 +1,265 @@
+"""Dataset + host-side batch loader with prefetch.
+
+Parity target: ``ImageDataset`` + torch ``DataLoader`` usage
+(``dataset.py:34-187``, ``train_ddp.py:188-196``).  TPU-native differences:
+
+- bags are bucket-padded per *batch* with a validity mask (SURVEY §5) instead
+  of one global 15,592-row pad;
+- a background thread pipelines host I/O with device compute (the 16-worker
+  torch DataLoader equivalent for the single-host case);
+- ``SyntheticCohort`` provides a deterministic in-memory cohort so the whole
+  train/eval path runs without the (private) hospital data.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..config import Config
+from . import augment as aug
+from .bags import bucket_for, instance_dropout, pad_bag
+from .clinical import clinical_prompts, clinical_vector
+from .cohort import build_cohort
+from .ct_io import (crop_or_pad_volume, hu_normalize, load_ct_metadata,
+                    read_nifti)
+from .tokenizer import tokenize
+
+
+class MultimodalDataset:
+    """Per-sample assembly (dataset.py:142-187 + getdata_from_df)."""
+
+    def __init__(self, cfg: Config, mode: str = "train",
+                 df: Optional[pd.DataFrame] = None,
+                 feature_store: Optional[Dict] = None):
+        self.cfg = cfg
+        self.mode = mode
+        self.df = df if df is not None else build_cohort(cfg, mode)
+        self.df = self.df.reset_index(drop=True)
+        self.feature_store = feature_store   # {(hospital, kind, pid): array}
+        self.ct_store = feature_store or {}
+        self.rng = np.random.RandomState(cfg.seed + hash(mode) % 10000)
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    # ---- modality loaders -------------------------------------------------
+    def _load_ct(self, row) -> np.ndarray:
+        cfg = self.cfg
+        key = ("CT", row["hospital"], row["patientid"])
+        if self.feature_store and key in self.feature_store:
+            img = np.asarray(self.feature_store[key], dtype=np.float32)
+        else:
+            sx, sy, sz = cfg.spacing
+            base = (f"{cfg.path_data_CT}/X({sx})Y({sy})Z({sz})/"
+                    f"{row['hospital']}/{row['patientid']}")
+            img = read_nifti(base + ".nii.gz")
+            meta = load_ct_metadata(base + ".json")
+            img = hu_normalize(img, meta)
+        img = crop_or_pad_volume(img, cfg.ct_shape[0], cfg.ct_hw)
+        if self.mode == "train" and cfg.augmentation:
+            img = aug.augment_ct(img, self.rng)
+        return img[..., None].astype(np.float32)        # (D, H, W, 1)
+
+    def _load_bag(self, row) -> np.ndarray:
+        cfg = self.cfg
+        kind = row["pathologyimage"]
+        key = ("pathology", row["hospital"], row["patientid"])
+        if self.feature_store and key in self.feature_store:
+            feat = np.asarray(self.feature_store[key], dtype=np.float32)
+        else:
+            p = (f"{cfg.path_data_pathology}/{row['hospital']}/"
+                 f"{kind}/{row['patientid']}.npy")
+            feat = np.load(p).astype(np.float32)
+        if self.mode == "train" and cfg.augmentation:
+            feat = instance_dropout(feat, kind, self.rng)
+        return feat
+
+    def _load_ci(self, row) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.CI_input_version in ("v1", "v2"):
+            return clinical_vector(
+                dict(row), cfg.CI_input_version, cfg.clinical_features,
+                duplicated=cfg.model_CI.endswith("d"))
+        prompts = clinical_prompts(
+            dict(row), cfg.CI_prompt_version,
+            learnable_prompt=bool(cfg.learnablePrompt), n_ctx=cfg.n_ctx)
+        return tokenize(prompts,
+                        context_length=cfg.clip_context - cfg.prompt_len)
+
+    def _label(self, row) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.label == "5yOS":
+            y = int(row["label"])
+        elif cfg.label == "BpRs":
+            y = 0 if row["pathologyimage"] == "Biopsy" else 1
+        elif cfg.label == "Tstage":
+            y = int(row["label_T"])
+        elif cfg.label == "locationcancer":
+            y = int(row["locationcancer"]) - 1
+        elif cfg.label == "classification_cancer":
+            y = int(row.get("classification cancer",
+                            row.get("classification_cancer"))) - 1
+        else:
+            y = int(row["label"])
+        return np.eye(cfg.num_classes, dtype=np.float32)[y]
+
+    def __getitem__(self, idx: int) -> Dict:
+        cfg = self.cfg
+        row = self.df.iloc[idx]
+        sample: Dict = {"ID": row["patientid"], "label": self._label(row)}
+        if "CT" in cfg.modality:
+            sample["input_CT"] = self._load_ct(row)
+        if "pathology" in cfg.modality:
+            sample["input_pathology"] = self._load_bag(row)
+            sample["BpRc_class"] = np.array(
+                [0.0 if row["pathologyimage"] == "Biopsy" else 1.0],
+                dtype=np.float32)
+        sample["input_CI"] = self._load_ci(row)
+        return sample
+
+
+class SyntheticCohort:
+    """Deterministic synthetic stand-in for the hospital data: a cohort
+    table with the reference's schema plus in-memory CT volumes and
+    label-correlated CTransPath-like bags."""
+
+    def __init__(self, cfg: Config, n_per_hospital: int = 8,
+                 ct_shape=(16, 64, 64), bag_range=(80, 300), seed: int = 0):
+        rs = np.random.RandomState(seed)
+        rows: List[Dict] = []
+        store: Dict = {}
+        hospitals = ["AJMC", "CNUH", "PNUH", "EUMC", "HUMC", "SCHMC"]
+        pid = 0
+        for hosp in hospitals:
+            for _ in range(n_per_hospital):
+                label = int(rs.randint(0, 2))
+                patient = f"S{pid:05d}"
+                pid += 1
+                kind = "Biopsy" if rs.rand() < 0.5 else "Resection"
+                rows.append({
+                    "patientid": patient, "hospital": hosp,
+                    "pathologyimage": kind, "CT_before1": "(1, x, 1)",
+                    "CT ID mismatch": 0,
+                    "sex": "M" if rs.rand() < 0.5 else "F",
+                    "sm": "N" if rs.rand() < 0.5 else "Y",
+                    "age": int(rs.randint(40, 85)),
+                    "birth date": "1950-01-01",
+                    "locationcancer": int(rs.randint(1, 6)),
+                    "cancerimaging": int(rs.randint(1, 5)),
+                    "cancerimagingT": int(rs.randint(1, 5)),
+                    "cancerimagingN": int(rs.randint(0, 4)),
+                    "cancerimagingM": int(rs.randint(0, 2)),
+                    "classification cancer": int(rs.randint(1, 3)),
+                    "label": label, "label_T": 0, "label_TNM": 0,
+                })
+                n_inst = int(rs.randint(*bag_range))
+                bag = rs.randn(n_inst, 768).astype(np.float32) \
+                    + label * 0.3
+                store[("pathology", hosp, patient)] = bag
+                vol = rs.rand(*ct_shape).astype(np.float32) * 0.2 \
+                    + label * 0.1
+                store[("CT", hosp, patient)] = vol
+        self.df = pd.DataFrame(rows)
+        self.store = store
+
+    def dataset(self, cfg: Config, mode: str) -> MultimodalDataset:
+        from .cohort import hospital_split, kfold_split
+        df = hospital_split(self.df, cfg.hospital_test, mode)
+        df = kfold_split(df, cfg.kfold_num, cfg.val_fold, mode)
+        return MultimodalDataset(cfg, mode, df=df,
+                                 feature_store=self.store)
+
+
+class BatchLoader:
+    """Batched iterator with per-batch bag bucketing and thread prefetch."""
+
+    def __init__(self, dataset: MultimodalDataset, batch_size: int,
+                 sampler=None, shuffle: bool = False, seed: int = 0,
+                 buckets: Sequence[int] | None = None,
+                 prefetch: int = 2, drop_last: bool = False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.buckets = tuple(buckets or dataset.cfg.bag_buckets)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        if self.sampler is not None:
+            self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.sampler) if self.sampler is not None else len(self.ds)
+        return n // self.batch_size if self.drop_last \
+            else -(-n // self.batch_size)
+
+    def _indices(self) -> np.ndarray:
+        if self.sampler is not None:
+            return np.asarray(list(self.sampler.indices()))
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def _collate(self, samples: List[Dict]) -> Dict:
+        batch: Dict = {"ID": [s["ID"] for s in samples]}
+        batch["label"] = np.stack([s["label"] for s in samples])
+        if "input_CT" in samples[0]:
+            batch["input_CT"] = np.stack([s["input_CT"] for s in samples])
+        if "input_pathology" in samples[0]:
+            longest = max(s["input_pathology"].shape[0] for s in samples)
+            target = bucket_for(longest, self.buckets)
+            feats, masks = zip(*(pad_bag(s["input_pathology"], target)
+                                 for s in samples))
+            batch["input_pathology"] = np.stack(feats)
+            batch["mask_pathology"] = np.stack(masks)
+            batch["BpRc_class"] = np.stack(
+                [s["BpRc_class"] for s in samples])
+        batch["input_CI"] = np.stack([s["input_CI"] for s in samples])
+        return batch
+
+    def _produce(self) -> Iterator[Dict]:
+        idx = self._indices()
+        if self.drop_last:
+            idx = idx[:len(idx) - len(idx) % self.batch_size]
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start:start + self.batch_size]
+            yield self._collate([self.ds[int(i)] for i in chunk])
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._produce()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for b in self._produce():
+                    q.put(b)
+            except BaseException as e:          # surface worker errors
+                err.append(e)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -1,0 +1,255 @@
+"""Flagship LLM-guided multimodal MIL model.
+
+Parity target: ``model/aggregator.py`` (the paper model) plus the training
+contract the reference's loop expects (``train_ddp.py:300,318-329``):
+tri-modal forward returns THREE probability heads [fused, CT-only, Pth-only]
+and the pair of CI-alignment embeddings [CT2CI, Pth2CI] for the cosine loss.
+The checked-in reference aggregator only returns the fused head (its run dirs
+snapshot per-experiment variants, SURVEY.md §2.8); this module implements the
+superset behind one config switch.
+
+Structure (aggregator.py:17-131):
+  extractor_CT (model_CT) ─┐
+  fc_pathology 768→512 Tanh + MIL extractor (model_pathology) ─┤
+  clinic_extractor (model_CI / CoOp-CLIP) → fc_CI2CT / fc_CI2Pth (Tanh) ─┤
+  TwoWayTransformer(depth 2, dim 512, heads 8, mlp 2048) fuses each
+  modality's tokens with the projected CI; concat token streams → MIL
+  aggregator (ABMIL/ABMIL_v2/TransMIL/TransMIL_seperate) → Dropout(0.25) +
+  Linear → sigmoid/softmax.
+
+TPU-native: batched + masked throughout (padded bag rows carry a mask),
+sinusoidal PE computed at trace time (no 100k-row table), all branches are
+static config so XLA sees one fixed graph per configuration.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.positional import sinusoidal_pe
+from .abmil import ABMIL, ABMILv2
+from .clip_text import CoOpClinicalEncoder
+from .ct_mc3 import MedicalNetFeatures, ResnetMC3_18
+from .ct_mvit import MViTChunked
+from .ct_r2plus1d import Resnet2plus1D_18
+from .ct_swin import SwinUNETRMIL
+from .simple_fcs import (SimpleFCsV1, SimpleFCsV1d, SimpleFCsV2,
+                         SimpleFCsV2d)
+from .transmil import TransMIL
+from .twoway import TwoWayTransformer
+
+EMBED_DIM = 512
+
+
+class Aggregator(nn.Module):
+    cfg: Config
+    dtype: jnp.dtype = jnp.float32
+
+    def _ct_extractor(self):
+        c = self.cfg
+        if c.model_CT in ("resnetMC3_18", "resnetMC3_18_wMask"):
+            return ResnetMC3_18(spacing_xy=c.spacing[0], dtype=self.dtype,
+                                name="extractor_CT")
+        if c.model_CT == "medicalNet":
+            return MedicalNetFeatures(dtype=self.dtype, name="extractor_CT")
+        if c.model_CT == "resnet2plus1d_18":
+            return Resnet2plus1D_18(dtype=self.dtype, name="extractor_CT")
+        if "SwinUNETR" in c.model_CT:
+            return SwinUNETRMIL(dtype=self.dtype, name="extractor_CT")
+        if c.model_CT == "MViT":
+            return MViTChunked(n_classes=c.num_classes, dtype=self.dtype,
+                               name="extractor_CT")
+        raise ValueError(f"unknown model_CT {c.model_CT}")
+
+    def _clinic_extractor(self):
+        c = self.cfg
+        n = c.n_clinical
+        if c.model_CI == "simpleFCs_v1":
+            return SimpleFCsV1(n, self.dtype, name="clinic_extractor")
+        if c.model_CI == "simpleFCs_v1d":
+            return SimpleFCsV1d(n, self.dtype, name="clinic_extractor")
+        if c.model_CI == "simpleFCs_v2":
+            return SimpleFCsV2(self.dtype, name="clinic_extractor")
+        if c.model_CI == "simpleFCs_v2d":
+            return SimpleFCsV2d(self.dtype, name="clinic_extractor")
+        if c.model_CI == "CLIP":
+            from .clip_text import CLIPTextConfig
+            tcfg = CLIPTextConfig(
+                vocab_size=c.clip_vocab, context_length=c.clip_context,
+                width=c.clip_width, heads=c.clip_heads, layers=c.clip_layers,
+                embed_dim=c.clip_embed)
+            return CoOpClinicalEncoder(
+                n_prompts=n + 1, n_ctx=c.n_ctx,
+                learnable=bool(c.learnablePrompt), cfg=tcfg,
+                dtype=self.dtype, name="clinic_extractor")
+        raise ValueError(f"unknown model_CI {c.model_CI}")
+
+    def _mil(self, name: str):
+        c = self.cfg
+        kind = c.aggregator
+        if kind in ("ABMIL", "TransMIL_seperate"):
+            # TransMIL_seperate's final pooling is ABMIL (aggregator.py:95-96)
+            return ABMIL(L=EMBED_DIM, dtype=self.dtype, name=name)
+        if kind == "ABMIL_v2":
+            return ABMILv2(L=EMBED_DIM, dtype=self.dtype, name=name)
+        if kind == "TransMIL":
+            return TransMIL(n_classes=c.num_classes, L=EMBED_DIM,
+                            dtype=self.dtype, name=name)
+        raise ValueError(f"unknown aggregator {kind}")
+
+    def _pool(self, mil, tokens, mask, train, bprc=None):
+        """Run a MIL aggregator, normalising its return to ((B, D), attn)."""
+        if isinstance(mil, TransMIL):
+            pooled, attn = mil(tokens, mask=mask, train=train)
+            return pooled, attn
+        if isinstance(mil, ABMILv2):
+            pooled, attn = mil(tokens, bprc, mask=mask, train=train)
+        else:
+            pooled, attn = mil(tokens, mask=mask, train=train)
+        return pooled[:, 0], attn           # K=1 → squeeze
+
+    def _activation(self, logits):
+        if self.cfg.activationF == "sigmoid":
+            return nn.sigmoid(logits)
+        return nn.softmax(logits, axis=-1)
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = False,
+                 return_attn: bool = False):
+        c = self.cfg
+        dt = self.dtype
+        has_ct = "CT" in c.modality
+        has_pth = "pathology" in c.modality
+        outputs: Dict[str, Any] = {}
+
+        # ---- clinical branch -------------------------------------------
+        x_ci = self._clinic_extractor()(batch["input_CI"])
+        if x_ci.ndim == 2:
+            x_ci = x_ci[:, None, :]                     # (B, 1, 512)
+
+        def tanh_proj(x, name):
+            return jnp.tanh(nn.Dense(EMBED_DIM, dtype=dt, name=name)(x))
+
+        # ---- per-modality token extraction ------------------------------
+        ct_tokens = pth_tokens = None
+        pth_mask = batch.get("mask_pathology")
+        if has_ct:
+            feat = self._ct_extractor()(batch["input_CT"], train=train)
+            if isinstance(feat, tuple):                 # MViT → (emb, attn)
+                feat = feat[0]
+            if feat.ndim == 2:                          # pooled vector
+                feat = feat[:, None, :]
+            if feat.ndim == 3 and feat.shape[-1] != EMBED_DIM:
+                feat = nn.Dense(EMBED_DIM, dtype=dt, name="fc_CT_proj")(feat)
+            ct_tokens = feat                            # 5-D map or (B,T,512)
+        if has_pth:
+            pth_tokens = tanh_proj(batch["input_pathology"], "fc_pathology")
+
+        ct_reduce = "flatten" if c.model_CT == "medicalNet" else "mean"
+
+        def twoway(name):
+            return TwoWayTransformer(
+                depth=2, embedding_dim=EMBED_DIM, num_heads=8, mlp_dim=2048,
+                ct_reduce=ct_reduce, dtype=dt, name=name)
+
+        def pe_for(tokens):
+            if tokens.ndim == 5:
+                n = (tokens.shape[1] if ct_reduce == "mean"
+                     else tokens.shape[1] * tokens.shape[2] * tokens.shape[3])
+            else:
+                n = tokens.shape[1]
+            return sinusoidal_pe(n, EMBED_DIM, dtype=tokens.dtype)[None]
+
+        attns = []
+        emb_ct2ci = emb_pth2ci = None
+        if has_ct and has_pth:
+            tw = twoway("TwoWayTransformer_Both")
+            ci_ct = tanh_proj(x_ci, "fc_CI2CT")
+            ci_pth = tanh_proj(x_ci, "fc_CI2Pth")
+            emb_ct2ci, x_ci2ct = tw(ct_tokens, pe_for(ct_tokens), ci_ct)
+            emb_pth2ci, x_ci2pth = tw(pth_tokens, pe_for(pth_tokens), ci_pth,
+                                      image_mask=pth_mask)
+            if c.aggregator == "TransMIL_seperate":
+                agg_ct = TransMIL(c.num_classes, L=EMBED_DIM, dtype=dt,
+                                  name="aggregator_CT")
+                agg_pth = TransMIL(c.num_classes, L=EMBED_DIM, dtype=dt,
+                                   name="aggregator_Pth")
+                x_ci2ct = agg_ct(x_ci2ct, train=train)[0][:, None]
+                x_ci2pth = agg_pth(x_ci2pth, mask=pth_mask,
+                                   train=train)[0][:, None]
+                pth_mask_s = None
+            else:
+                pth_mask_s = pth_mask
+            streams = [emb_ct2ci, x_ci2ct, emb_pth2ci, x_ci2pth]
+            x0 = jnp.concatenate(streams, axis=1)
+            if pth_mask_s is not None:
+                ones = [jnp.ones(s.shape[:2], bool) for s in streams[:3]]
+                x0_mask = jnp.concatenate(ones + [pth_mask_s], axis=1)
+            else:
+                x0_mask = None
+        elif has_ct:
+            tw = twoway("TwoWayTransformer_CT")
+            ci_ct = tanh_proj(x_ci, "fc_CI2CT")
+            emb_ct2ci, x_ci2ct = tw(ct_tokens, pe_for(ct_tokens), ci_ct)
+            x0 = jnp.concatenate([emb_ct2ci, x_ci2ct], axis=1)
+            x0_mask = None
+        elif has_pth:
+            tw = twoway("TwoWayTransformer_Pth")
+            ci_pth = tanh_proj(x_ci, "fc_CI2Pth")
+            emb_pth2ci, x_ci2pth = tw(pth_tokens, pe_for(pth_tokens), ci_pth,
+                                      image_mask=pth_mask)
+            x0 = jnp.concatenate([emb_pth2ci, x_ci2pth], axis=1)
+            x0_mask = (jnp.concatenate(
+                [jnp.ones(emb_pth2ci.shape[:2], bool), pth_mask], axis=1)
+                if pth_mask is not None else None)
+        else:                                            # CI-only
+            x0 = tanh_proj(x_ci, "fc_CI")
+            x0_mask = None
+
+        # ---- MIL aggregation + heads ------------------------------------
+        bprc = batch.get("BpRc_class")
+        if bprc is None and c.aggregator == "ABMIL_v2":
+            bprc = jnp.zeros((x0.shape[0], 1), dtype=x0.dtype)
+        mil = self._mil("aggregator") if c.aggregator != "-" else None
+
+        def head(tokens, mask, head_name):
+            if mil is None:
+                pooled = tokens.mean(axis=1)
+            else:
+                pooled, attn = self._pool(mil, tokens, mask, train, bprc)
+                if return_attn:
+                    attns.append(attn)
+            logits = nn.Dense(c.num_classes, dtype=dt, name=head_name)(
+                nn.Dropout(0.25, deterministic=not train)(pooled))
+            return self._activation(logits)
+
+        outputs["probs"] = head(x0, x0_mask, "fc")
+
+        if has_ct and has_pth and c.loss_point == "CT-Pth-Last":
+            ct_stream = jnp.concatenate([emb_ct2ci, x_ci2ct], axis=1)
+            outputs["probs_CT"] = head(ct_stream, None, "fc_CT")
+            pth_stream = jnp.concatenate([emb_pth2ci, x_ci2pth], axis=1)
+            pstream_mask = (jnp.concatenate(
+                [jnp.ones(emb_pth2ci.shape[:2], bool), pth_mask_s], axis=1)
+                if pth_mask_s is not None else None)
+            outputs["probs_Pth"] = head(pth_stream, pstream_mask, "fc_Pth")
+
+        if emb_ct2ci is not None:
+            outputs["emb_CT2CI"] = emb_ct2ci
+        if emb_pth2ci is not None:
+            outputs["emb_Pth2CI"] = emb_pth2ci
+        if return_attn:
+            outputs["attns"] = attns
+        return outputs
+
+
+def build_model(cfg: Config) -> Aggregator:
+    """Model factory (reference ``model/utils.py:6-12``): the wMask variant
+    is the same Aggregator with a mask-aware CT extractor selected by
+    ``model_CT``."""
+    dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else jnp.float32
+    return Aggregator(cfg=cfg, dtype=dtype)

@@ -1,0 +1,86 @@
+"""R(2+1)D-18 CT encoder.
+
+Parity target: ``model/dim3/resnet2plus1D.py:6-17`` — 1→3ch Conv3d stem
+(kernel (3,2,2), stride (1,2,2)) + torchvision ``r2plus1d_18`` whose fc head
+is replaced by Linear→ReLU→Linear→ReLU, returning a (B, 512) vector.
+
+R(2+1)D factorises each 3-D conv into a spatial (1,3,3) conv + BN + ReLU +
+temporal (3,1,1) conv with the torchvision midplane formula.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .ct_mc3 import _ConvBN
+
+
+class _Conv2Plus1D(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_f = x.shape[-1]
+        mid = (in_f * self.features * 3 * 3 * 3) // (
+            in_f * 3 * 3 + 3 * self.features)
+        y = _ConvBN(mid, (1, 3, 3), (1, self.stride, self.stride),
+                    (0, 1, 1), dtype=self.dtype, name="spatial")(x, train)
+        y = nn.relu(y)
+        return nn.Conv(self.features, (3, 1, 1), (self.stride, 1, 1),
+                       padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
+                       dtype=self.dtype, name="temporal")(y)
+
+
+class _R2Plus1DBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _Conv2Plus1D(self.features, self.stride, self.dtype,
+                         name="conv1")(x, train)
+        y = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32,
+                                 name="bn1")(y))
+        y = _Conv2Plus1D(self.features, 1, self.dtype, name="conv2")(y, train)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn2")(y)
+        if x.shape[-1] != self.features or self.stride != 1:
+            x = _ConvBN(self.features, (1, 1, 1), (self.stride,) * 3,
+                        (0, 0, 0), dtype=self.dtype,
+                        name="downsample")(x, train)
+        return nn.relu(x + y)
+
+
+class Resnet2plus1D_18(nn.Module):
+    """Input (B, D, H, W, 1) → (B, 512) pooled feature (reference head)."""
+    remat: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # reference stem: Conv3d(1→3, (3,2,2), s(1,2,2), p(1,0,0))
+        x = nn.Conv(3, (3, 2, 2), (1, 2, 2),
+                    padding=((1, 1), (0, 0), (0, 0)), dtype=self.dtype,
+                    name="downsampling")(x)
+        # R2Plus1dStem
+        x = nn.relu(_ConvBN(45, (1, 7, 7), (1, 2, 2), (0, 3, 3),
+                            dtype=self.dtype, name="stem_s")(x, train))
+        x = nn.relu(_ConvBN(64, (3, 1, 1), (1, 1, 1), (1, 0, 0),
+                            dtype=self.dtype, name="stem_t")(x, train))
+        block = _R2Plus1DBlock
+        if self.remat:
+            block = nn.remat(_R2Plus1DBlock, static_argnums=(2,))
+        for i, feats in enumerate((64, 128, 256, 512)):
+            for b in range(2):
+                stride = 2 if (i > 0 and b == 0) else 1
+                x = block(feats, stride, self.dtype,
+                          name=f"layer{i + 1}_{b}")(x, train)
+        x = x.mean(axis=(1, 2, 3))                      # global avg pool
+        x = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc0")(x))
+        x = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc1")(x))
+        return x

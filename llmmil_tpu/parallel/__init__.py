@@ -1,0 +1,6 @@
+from .mesh import (make_mesh, shard_batch, replicate, batch_sharding,
+                   replicated_sharding)
+from .sampler import ShardedEpochSampler
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding",
+           "replicated_sharding", "ShardedEpochSampler"]
