@@ -71,7 +71,8 @@ class Config:
     CI_input_version: str = "v1"       # v1 | v2 | text
     CI_prompt_version: str = "single"  # single | devided
     model_CI: str = "simpleFCs_v1"     # simpleFCs_v{1,1d,2,2d} | CLIP
-    aggregator: str = "TransMIL"       # ABMIL | ABMIL_v2 | TransMIL | TransMIL_seperate | -
+    aggregator: str = "TransMIL"       # ABMIL | ABMIL_v2 | TransMIL | TransMIL_seperate | TransMIL_per_modality | -
+    model_family: str = "aggregator"   # aggregator | clip (late fusion) | concat (early baseline)
 
     # ---- prompts (config.py:63-67) ----
     learnablePrompt: int = 1
@@ -144,7 +145,10 @@ class Config:
     param_dtype: str = "float32"
     bag_buckets: List[int] = field(
         default_factory=lambda: [512, 1024, 2048, 4096, 8192, 16384])
-    use_pallas: bool = True            # fused Pallas kernels on TPU
+    # Fused Pallas MIL-pooling kernel (ops/pallas/mil_pool.py). Default off:
+    # on v5e the XLA-fused path currently wins for this op (the kernel's
+    # rank-1 pooling matmuls underutilise the MXU); measured in BENCH notes.
+    use_pallas: bool = False
     ct_shape: List[int] = field(default_factory=lambda: [160, 512, 512])
     save_dir: str = "results"
     log_every: int = 10
@@ -159,9 +163,15 @@ class Config:
         """Fixed max bag length for batch>1 (reference dataset.py:383-391)."""
         return 14880 if self.path_data_pathology.endswith("_sn") else 15592
 
+    # 0 → in-plane size keyed on spacing like the reference; >0 overrides
+    # (synthetic/debug runs with small volumes)
+    ct_hw_override: int = 0
+
     @property
     def ct_hw(self) -> int:
         """CT in-plane size as a function of spacing (dataset.py:301-308)."""
+        if self.ct_hw_override:
+            return self.ct_hw_override
         return 224 if self.spacing[0] == 2.0 else 512
 
     def replace(self, **kw: Any) -> "Config":

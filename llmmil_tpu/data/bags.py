@@ -40,7 +40,11 @@ def pad_bag(feat: np.ndarray, target: int
             ) -> Tuple[np.ndarray, np.ndarray]:
     """Zero-pad (n, d) to (target, d) + bool validity mask; truncates if
     n > target (keeps the first rows, like the reference's fixed buffer,
-    dataset.py:383-391)."""
+    dataset.py:383-391).  Uses the native C++ packer when built."""
+    from . import native
+    packed = native.pack_bag(feat, target)
+    if packed is not None:
+        return packed
     n, d = feat.shape
     if n >= target:
         return feat[:target].astype(np.float32), np.ones(target, bool)

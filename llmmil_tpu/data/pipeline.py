@@ -49,7 +49,7 @@ class MultimodalDataset:
         return len(self.df)
 
     # ---- modality loaders -------------------------------------------------
-    def _load_ct(self, row) -> np.ndarray:
+    def _load_ct(self, row):
         cfg = self.cfg
         key = ("CT", row["hospital"], row["patientid"])
         if self.feature_store and key in self.feature_store:
@@ -60,11 +60,50 @@ class MultimodalDataset:
                     f"{row['hospital']}/{row['patientid']}")
             img = read_nifti(base + ".nii.gz")
             meta = load_ct_metadata(base + ".json")
-            img = hu_normalize(img, meta)
-        img = crop_or_pad_volume(img, cfg.ct_shape[0], cfg.ct_hw)
+            from . import native
+            fused = native.hu_normalize_crop(img, meta, cfg.ct_shape[0],
+                                             cfg.ct_hw)
+            if fused is not None:
+                img = fused
+            else:
+                img = crop_or_pad_volume(hu_normalize(img, meta),
+                                         cfg.ct_shape[0], cfg.ct_hw)
+        if img.shape != (cfg.ct_shape[0], cfg.ct_hw, cfg.ct_hw):
+            img = crop_or_pad_volume(img, cfg.ct_shape[0], cfg.ct_hw)
+
+        mask = None
+        if cfg.tumorCrop or "wMask" in cfg.model_CT:
+            mask = self._load_tumor_mask(row, img.shape)
         if self.mode == "train" and cfg.augmentation:
-            img = aug.augment_ct(img, self.rng)
-        return img[..., None].astype(np.float32)        # (D, H, W, 1)
+            if mask is not None:
+                img, mask = aug.augment_ct(img, self.rng, mask=mask)
+            else:
+                img = aug.augment_ct(img, self.rng)
+        if cfg.tumorCrop and mask is not None:
+            from .ct_io import tumor_crop_box
+            img = tumor_crop_box(img, mask)
+        img = img[..., None].astype(np.float32)          # (D, H, W, 1)
+        if "wMask" in cfg.model_CT and mask is not None:
+            return img, mask[..., None].astype(np.float32)
+        return img, None
+
+    def _load_tumor_mask(self, row, shape) -> np.ndarray:
+        """Tumour mask: .npy/.nii.gz under path_data_mask (the reference
+        reads nrrd via pynrrd, dataset.py:265-299 — format-gated here);
+        in-memory store for synthetic runs; zeros if absent."""
+        key = ("mask", row["hospital"], row["patientid"])
+        if self.feature_store and key in self.feature_store:
+            m = np.asarray(self.feature_store[key], dtype=np.float32)
+        else:
+            base = f"{self.cfg.path_data_mask}/CT_{row['patientid']}"
+            if os.path.exists(base + ".npy"):
+                m = np.load(base + ".npy").astype(np.float32)
+            elif os.path.exists(base + ".nii.gz"):
+                m = read_nifti(base + ".nii.gz").astype(np.float32)
+            else:
+                return np.zeros(shape, np.float32)
+        return crop_or_pad_volume(np.clip(m, 0, 1), self.cfg.ct_shape[0],
+                                  self.cfg.ct_hw)
 
     def _load_bag(self, row) -> np.ndarray:
         cfg = self.cfg
@@ -114,7 +153,10 @@ class MultimodalDataset:
         row = self.df.iloc[idx]
         sample: Dict = {"ID": row["patientid"], "label": self._label(row)}
         if "CT" in cfg.modality:
-            sample["input_CT"] = self._load_ct(row)
+            ct, ct_mask = self._load_ct(row)
+            sample["input_CT"] = ct
+            if ct_mask is not None:
+                sample["mask_CT"] = ct_mask
         if "pathology" in cfg.modality:
             sample["input_pathology"] = self._load_bag(row)
             sample["BpRc_class"] = np.array(
@@ -216,6 +258,8 @@ class BatchLoader:
         batch["label"] = np.stack([s["label"] for s in samples])
         if "input_CT" in samples[0]:
             batch["input_CT"] = np.stack([s["input_CT"] for s in samples])
+        if "mask_CT" in samples[0]:
+            batch["mask_CT"] = np.stack([s["mask_CT"] for s in samples])
         if "input_pathology" in samples[0]:
             longest = max(s["input_pathology"].shape[0] for s in samples)
             target = bucket_for(longest, self.buckets)

@@ -1,0 +1,116 @@
+"""External-hospital evaluation driver.
+
+Parity target: ``test_ddp.py`` — load the best checkpoint, run per-patient
+inference with timing (warm-up excluded mean, test_ddp.py:214-234), collect
+P(class 1), select the decision threshold (valid mode: Youden argmax(tpr−fpr)
+from the ROC; test mode: the supplied ``--best_thres``, test_ddp.py:144-150),
+compute AUC/acc/precision/recall, export the per-patient table (CSV always,
+Excel when a writer exists — the reference encodes metrics into the filename,
+test_ddp.py:154-156) and save ROC.png at dpi 600 (test_ddp.py:292-309).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from ..config import Config
+from ..models import build_model
+from ..train import checkpoint as ckpt_lib
+from ..train.metrics import precision_recall, roc_auc, roc_curve, \
+    youden_threshold
+from ..train.state import create_train_state
+
+
+def roc_curve_plot(labels, scores, out_png: Optional[str] = None):
+    """ROC plot + (auc, best_threshold) (test_ddp.py:292-309)."""
+    fpr, tpr, thr = roc_curve(labels, scores)
+    auc = float(np.trapezoid(tpr, fpr))
+    best = float(thr[np.argmax(tpr - fpr)])
+    if out_png:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            plt.figure()
+            plt.plot(fpr, tpr, label=f"AUC = {auc:.4f}")
+            plt.plot([0, 1], [0, 1], "k--")
+            plt.xlabel("False positive rate")
+            plt.ylabel("True positive rate")
+            plt.legend(loc="lower right")
+            plt.savefig(out_png, dpi=600)
+            plt.close()
+        except Exception:
+            pass
+    return auc, best
+
+
+def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
+             state=None, out_dir: Optional[str] = None,
+             mode: Optional[str] = None) -> Dict:
+    """Run inference over a loader; returns metrics + per-patient table."""
+    mode = mode or cfg.mode
+    model = build_model(cfg)
+    if state is None:
+        first = next(iter(loader))
+        init_batch = {k: v for k, v in first.items() if k != "ID"}
+        state = create_train_state(model, cfg, init_batch,
+                                   jax.random.PRNGKey(0))
+        if checkpoint_path:
+            state, _ = ckpt_lib.resume(state, checkpoint_path)
+            print(f"=> loaded checkpoint '{checkpoint_path}'")
+
+    @jax.jit
+    def forward(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats is not None and jax.tree_util.tree_leaves(
+                batch_stats):
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, batch, train=False)["probs"]
+
+    ids, probs1, labels, times = [], [], [], []
+    for batch in loader:
+        db = {k: v for k, v in batch.items() if k != "ID"}
+        t0 = time.perf_counter()
+        p = np.asarray(jax.block_until_ready(
+            forward(state.params, state.batch_stats, db)))
+        times.append(time.perf_counter() - t0)
+        ids.extend(batch["ID"])
+        probs1.extend(p[:, 1].tolist() if p.shape[-1] > 1
+                      else p[:, 0].tolist())
+        labels.extend(np.argmax(batch["label"], -1).tolist())
+
+    probs1 = np.asarray(probs1)
+    labels = np.asarray(labels)
+    out_dir = out_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    auc, youden = roc_curve_plot(labels, probs1,
+                                 os.path.join(out_dir, "ROC.png"))
+    thres = youden if mode == "valid" else cfg.best_thres
+    preds = (probs1 > thres).astype(int)
+    acc = float((preds == labels).mean())
+    prec, rec = precision_recall(labels, preds, "binary")
+
+    df = pd.DataFrame({"ID": ids, "label": labels, "prob": probs1,
+                       "pred": preds})
+    stem = (f"result_{mode}_AUC({auc:.4f})ACC({acc:.4f})"
+            f"TH({thres:.4f})")
+    csv_path = os.path.join(out_dir, stem + ".csv")
+    df.to_csv(csv_path, index=False)
+    try:
+        df.to_excel(os.path.join(out_dir, stem + ".xlsx"), index=False)
+    except Exception:
+        pass                                  # no excel writer installed
+
+    # warm-up-excluded mean inference time (test_ddp.py:214-234)
+    t_mean = float(np.mean(times[1:])) if len(times) > 1 else \
+        float(times[0])
+    return {"auc": auc, "acc": acc, "precision": float(prec),
+            "recall": float(rec), "threshold": thres,
+            "youden_threshold": youden, "per_sample_time": t_mean,
+            "table": df, "csv": csv_path}

@@ -1,7 +1,13 @@
 from .simple_fcs import SimpleFCsV1, SimpleFCsV1d, SimpleFCsV2, SimpleFCsV2d
 from .abmil import ABMIL, ABMILv2
 from .transmil import TransMIL, TransLayer, PPEG, NystromSelfAttention
-from .twoway import TwoWayTransformer, TwoWayAttentionBlock, Attention, MLPBlock
+from .twoway import (TwoWayTransformer, TwoWayTransformer2,
+                     TwoWayAttentionBlock, TwoWayAttentionBlock2,
+                     Attention, MLPBlock)
+from .transmil_per_modality import TransMILPerModality
+from .baselines import AggregatorClip, AggregatorConcat
+from .ct_resnext import ResNeXt3D, finetune_param_labels
+from .resnet2d import Resnet18_2D
 from .clip_text import CLIPTextEncoder, CoOpClinicalEncoder, CLIPTextConfig
 from .ct_mc3 import ResnetMC3_18, VideoResNetFeatures
 from .ct_r2plus1d import Resnet2plus1D_18
@@ -16,5 +22,8 @@ __all__ = [
     "Attention", "MLPBlock", "CLIPTextEncoder", "CoOpClinicalEncoder",
     "CLIPTextConfig", "ResnetMC3_18", "VideoResNetFeatures",
     "Resnet2plus1D_18", "SwinUNETRMIL", "MViTChunked",
-    "Aggregator", "build_model",
+    "Aggregator", "build_model", "TwoWayTransformer2",
+    "TwoWayAttentionBlock2", "TransMILPerModality", "AggregatorClip",
+    "AggregatorConcat", "ResNeXt3D", "finetune_param_labels",
+    "Resnet18_2D",
 ]

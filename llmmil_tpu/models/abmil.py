@@ -5,14 +5,22 @@ The reference squeezes the batch dim and processes one bag at a time; here
 bags are batched (B, N, L) with an optional validity mask so padded rows get
 zero attention (the reference's unmasked numerics are reproduced by
 ``mask=None``).
+
+Two execution paths over the SAME parameters:
+- plain JAX (``llmmil_tpu.ops.mil.gated_attention_pool``) — CPU / parity;
+- the fused Pallas kernel (``llmmil_tpu.ops.pallas.mil_pool``) when
+  ``use_pallas`` and a mask is present — streams the bag HBM→VMEM once per
+  pass instead of materialising (N, D) gate activations.
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from ..ops.masked import masked_softmax
+from ..ops.mil import gated_attention_pool
+from ..ops.pallas import mil_pool
 
 
 class ABMIL(nn.Module):
@@ -25,24 +33,27 @@ class ABMIL(nn.Module):
     K: int = 1
     dropout: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
-        if mask is not None:
-            # zero masked values: a zero attention weight alone doesn't stop
-            # non-finite padding (0·NaN = NaN) entering the pooling matmul
-            x = jnp.where(mask[..., None], x, 0.0)
+        l = x.shape[-1]
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        wv = self.param("V_kernel", init, (l, self.D))
+        bv = self.param("V_bias", zeros, (self.D,))
+        wu = self.param("U_kernel", init, (l, self.D))
+        bu = self.param("U_bias", zeros, (self.D,))
+        ww = self.param("w_kernel", init, (self.D, self.K))
+        bw = self.param("w_bias", zeros, (self.K,))
+
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        a_v = jnp.tanh(nn.Dense(self.D, dtype=self.dtype,
-                                name="attention_V")(x))       # (B,N,D)
-        a_u = nn.sigmoid(nn.Dense(self.D, dtype=self.dtype,
-                                  name="attention_U")(x))     # (B,N,D)
-        a = nn.Dense(self.K, dtype=self.dtype,
-                     name="attention_weights")(a_v * a_u)     # (B,N,K)
-        a = jnp.swapaxes(a, -1, -2)                           # (B,K,N)
-        m = mask[..., None, :] if mask is not None else None
-        att = masked_softmax(a, m, axis=-1)
-        pooled = att @ x                                       # (B,K,L)
+        if self.use_pallas and mask is not None and self.K == 1:
+            pooled, att = mil_pool(x, mask, wv, bv, wu, bu, ww, bw)
+            return pooled[:, None, :].astype(x.dtype), att[:, None, :]
+        pooled, att = gated_attention_pool(
+            x.astype(self.dtype), wv.astype(self.dtype), bv, wu, bu, ww, bw,
+            mask=mask)
         return pooled, att
 
 
@@ -57,11 +68,13 @@ class ABMILv2(nn.Module):
     K: int = 1
     dropout: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, bprc, mask=None, train: bool = False):
         pooled, att = ABMIL(self.L, self.D, self.K, self.dropout,
-                            self.dtype, name="abmil")(x, mask, train)
+                            self.dtype, self.use_pallas,
+                            name="abmil")(x, mask, train)
         bprc = jnp.broadcast_to(
             bprc[..., None, :].astype(pooled.dtype),
             (*pooled.shape[:-1], 1))

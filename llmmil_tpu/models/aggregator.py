@@ -88,22 +88,35 @@ class Aggregator(nn.Module):
                 dtype=self.dtype, name="clinic_extractor")
         raise ValueError(f"unknown model_CI {c.model_CI}")
 
+    def _use_pallas(self) -> bool:
+        import jax
+        return bool(self.cfg.use_pallas) and jax.default_backend() == "tpu"
+
     def _mil(self, name: str):
         c = self.cfg
         kind = c.aggregator
         if kind in ("ABMIL", "TransMIL_seperate"):
             # TransMIL_seperate's final pooling is ABMIL (aggregator.py:95-96)
-            return ABMIL(L=EMBED_DIM, dtype=self.dtype, name=name)
+            return ABMIL(L=EMBED_DIM, dtype=self.dtype,
+                         use_pallas=self._use_pallas(), name=name)
         if kind == "ABMIL_v2":
-            return ABMILv2(L=EMBED_DIM, dtype=self.dtype, name=name)
+            return ABMILv2(L=EMBED_DIM, dtype=self.dtype,
+                           use_pallas=self._use_pallas(), name=name)
         if kind == "TransMIL":
             return TransMIL(n_classes=c.num_classes, L=EMBED_DIM,
                             dtype=self.dtype, name=name)
+        if kind == "TransMIL_per_modality":
+            from .transmil_per_modality import TransMILPerModality
+            return TransMILPerModality(
+                n_classes=c.num_classes, L=EMBED_DIM,
+                n_ci=c.n_clinical + 1, n_ct=c.ct_shape[0],
+                dtype=self.dtype, name=name)
         raise ValueError(f"unknown aggregator {kind}")
 
     def _pool(self, mil, tokens, mask, train, bprc=None):
         """Run a MIL aggregator, normalising its return to ((B, D), attn)."""
-        if isinstance(mil, TransMIL):
+        from .transmil_per_modality import TransMILPerModality
+        if isinstance(mil, (TransMIL, TransMILPerModality)):
             pooled, attn = mil(tokens, mask=mask, train=train)
             return pooled, attn
         if isinstance(mil, ABMILv2):
@@ -138,7 +151,14 @@ class Aggregator(nn.Module):
         ct_tokens = pth_tokens = None
         pth_mask = batch.get("mask_pathology")
         if has_ct:
-            feat = self._ct_extractor()(batch["input_CT"], train=train)
+            ct_in = batch["input_CT"]
+            if "wMask" in c.model_CT and "mask_CT" in batch:
+                # mask-aware variant: tumour mask as a 2nd input channel
+                # (resnetMC3_wMask.py:8-14 — the conv stem is channel-
+                # agnostic here, so the same trunk serves both)
+                ct_in = jnp.concatenate(
+                    [ct_in, batch["mask_CT"].astype(ct_in.dtype)], axis=-1)
+            feat = self._ct_extractor()(ct_in, train=train)
             if isinstance(feat, tuple):                 # MViT → (emb, attn)
                 feat = feat[0]
             if feat.ndim == 2:                          # pooled vector
@@ -247,9 +267,17 @@ class Aggregator(nn.Module):
         return outputs
 
 
-def build_model(cfg: Config) -> Aggregator:
-    """Model factory (reference ``model/utils.py:6-12``): the wMask variant
-    is the same Aggregator with a mask-aware CT extractor selected by
-    ``model_CT``."""
+def build_model(cfg: Config):
+    """Model factory (reference ``model/utils.py:6-12`` + the alternative
+    ``model/utils_clip.py:6-8``): the wMask variant is the same Aggregator
+    with a mask-aware CT extractor selected by ``model_CT``; ``model_family``
+    selects the late-fusion (aggregator_clip) / concat (aggregator_previous)
+    baselines."""
     dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else jnp.float32
+    if cfg.model_family == "clip":
+        from .baselines import AggregatorClip
+        return AggregatorClip(cfg=cfg, dtype=dtype)
+    if cfg.model_family == "concat":
+        from .baselines import AggregatorConcat
+        return AggregatorConcat(cfg=cfg, dtype=dtype)
     return Aggregator(cfg=cfg, dtype=dtype)

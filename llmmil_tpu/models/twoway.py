@@ -114,6 +114,63 @@ class TwoWayAttentionBlock(nn.Module):
         return queries, keys
 
 
+class TwoWayAttentionBlock2(nn.Module):
+    """Variant adding image-side self-attention per block (parity:
+    ``model/sam/transformer.py:312-392`` TwoWayAttentionBlock2 — unreferenced
+    in the reference's entry points but part of its surface)."""
+    embedding_dim: int = 512
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+    skip_first_layer_pe: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe,
+                 query_mask=None, key_mask=None):
+        dt = self.dtype
+        if self.skip_first_layer_pe:
+            queries = Attention(self.embedding_dim, self.num_heads,
+                                dtype=dt, name="self_attn_token")(
+                queries, queries, queries, key_mask=query_mask)
+            keys = Attention(self.embedding_dim, self.num_heads,
+                             dtype=dt, name="self_attn_image")(
+                keys, keys, keys, key_mask=key_mask)
+        else:
+            q = queries + query_pe
+            queries = queries + Attention(
+                self.embedding_dim, self.num_heads, dtype=dt,
+                name="self_attn_token")(q, q, queries,
+                                        key_mask=query_mask)
+            k = keys + key_pe
+            keys = keys + Attention(
+                self.embedding_dim, self.num_heads, dtype=dt,
+                name="self_attn_image")(k, k, keys, key_mask=key_mask)
+        queries = nn.LayerNorm(name="norm1_token")(queries)
+        keys = nn.LayerNorm(name="norm1_image")(keys)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        attn_out = Attention(self.embedding_dim, self.num_heads,
+                             self.attention_downsample_rate, dtype=dt,
+                             name="cross_attn_token_to_image")(
+            q, k, keys, key_mask=key_mask)
+        queries = nn.LayerNorm(name="norm2")(queries + attn_out)
+
+        mlp_out = MLPBlock(self.mlp_dim, self.embedding_dim,
+                           nn.relu, dtype=dt, name="mlp")(queries)
+        queries = nn.LayerNorm(name="norm3")(queries + mlp_out)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        attn_out = Attention(self.embedding_dim, self.num_heads,
+                             self.attention_downsample_rate, dtype=dt,
+                             name="cross_attn_image_to_token")(
+            k, q, queries, key_mask=query_mask)
+        keys = nn.LayerNorm(name="norm4")(keys + attn_out)
+        return queries, keys
+
+
 def tokens_from_feature_map(x: jnp.ndarray, reduce: str) -> jnp.ndarray:
     """5-D NDHWC CT feature map → token sequence (transformer.py:78-98).
 
@@ -126,6 +183,46 @@ def tokens_from_feature_map(x: jnp.ndarray, reduce: str) -> jnp.ndarray:
         return x.mean(axis=(2, 3))
     b, t, h, w, c = x.shape
     return x.reshape(b, t * h * w, c)
+
+
+class TwoWayTransformer2(nn.Module):
+    """TwoWayTransformer with image-side self-attention blocks (parity:
+    ``model/sam/transformer.py:123-233``)."""
+    depth: int = 2
+    embedding_dim: int = 512
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+    ct_reduce: str = "mean"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, point_embedding,
+                 image_mask=None, point_mask=None):
+        image_embedding = tokens_from_feature_map(image_embedding,
+                                                  self.ct_reduce)
+        point_embedding = tokens_from_feature_map(point_embedding,
+                                                  self.ct_reduce)
+        if image_pe.ndim == 2:
+            image_pe = image_pe[None]
+        queries, keys = point_embedding, image_embedding
+        for i in range(self.depth):
+            queries, keys = TwoWayAttentionBlock2(
+                self.embedding_dim, self.num_heads, self.mlp_dim,
+                self.attention_downsample_rate,
+                skip_first_layer_pe=(i == 0), dtype=self.dtype,
+                name=f"layers_{i}")(
+                queries, keys, point_embedding, image_pe,
+                query_mask=point_mask, key_mask=image_mask)
+        q = queries + point_embedding
+        k = keys + image_pe
+        attn_out = Attention(self.embedding_dim, self.num_heads,
+                             self.attention_downsample_rate,
+                             dtype=self.dtype,
+                             name="final_attn_token_to_image")(
+            q, k, keys, key_mask=image_mask)
+        queries = nn.LayerNorm(name="norm_final_attn")(queries + attn_out)
+        return queries, keys
 
 
 class TwoWayTransformer(nn.Module):

@@ -1,0 +1,160 @@
+"""Training driver: the epoch loop.
+
+Parity target: ``train_ddp.py:199-244`` (epoch loop: sampler.set_epoch, LR
+adjust, train, valid, best-AUC checkpointing) + ``train_ddp.py:246-513``
+(per-batch metering, epoch-end scalars).  Differences by design:
+
+- the whole batch body is ONE jitted XLA program (forward+backward+update);
+- AUC is computed on P(class 1) over the full epoch (the reference feeds
+  *argmax* predictions to roc_auc_score, train_ddp.py:368 — recorded here
+  additionally as ``auc_argmax`` for comparison, SURVEY §5 calls this a
+  behavior to improve, not replicate);
+- batches arrive bucket-padded with masks; each bag bucket compiles once.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..models import build_model
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils import AverageMeter, MetricWriter, ProgressMeter
+from ..utils.run_dir import dump_config, make_save_dir
+from . import checkpoint as ckpt_lib
+from .metrics import accuracy_onehot, precision_recall, roc_auc
+from .state import create_train_state
+from .step import make_eval_step, make_train_step
+
+
+def _device_batch(batch: Dict, mesh) -> Dict:
+    arrays = {k: v for k, v in batch.items() if k != "ID"}
+    if mesh is not None:
+        return shard_batch(arrays, mesh)
+    return arrays
+
+
+def _epoch_metrics(all_probs, all_labels, num_classes: int) -> Dict:
+    probs = np.concatenate(all_probs)
+    labels = np.concatenate(all_labels)
+    y = np.argmax(labels, -1)
+    preds = np.argmax(probs, -1)
+    out = {"acc": float((preds == y).mean())}
+    if num_classes == 2:
+        out["auc"] = roc_auc(y, probs[:, 1])
+        out["auc_argmax"] = roc_auc(y, preds)        # reference behavior
+        prec, rec = precision_recall(y, preds, "binary")
+    else:
+        prec, rec = precision_recall(y, preds, "macro")
+        out["auc"] = float("nan")
+    out["precision"], out["recall"] = float(prec), float(rec)
+    return out
+
+
+def run_epoch(step_fn, state, loader, mesh, rng, epoch: int, cfg: Config,
+              train: bool, writer: Optional[MetricWriter] = None):
+    """One pass over a loader; returns (state, epoch metrics)."""
+    batch_time = AverageMeter("Time", ":6.3f")
+    data_time = AverageMeter("Data", ":6.3f")
+    losses = AverageMeter("Loss", ":.4e")
+    accs = AverageMeter("Acc", ":6.2f")
+    prefix = "Train" if train else "Valid"
+    progress = ProgressMeter(len(loader), [batch_time, data_time, losses,
+                                           accs], prefix=f"{prefix} "
+                             f"Epoch: [{epoch}]")
+    term_meters: Dict[str, AverageMeter] = {}
+    all_probs, all_labels = [], []
+    end = time.time()
+    for i, batch in enumerate(loader):
+        data_time.update(time.time() - end)
+        n = batch["label"].shape[0]
+        db = _device_batch(batch, mesh)
+        if train:
+            state, metrics = step_fn(state, db, rng)
+        else:
+            metrics = step_fn(state, db)
+        losses.update(float(metrics["loss"]), n)
+        accs.update(float(metrics["acc"]), n)
+        for k in ("loss_CT", "loss_Pth", "loss_Last", "loss_CosSim"):
+            if k in metrics:
+                term_meters.setdefault(k, AverageMeter(k, ":.4e")).update(
+                    float(metrics[k]), n)
+        all_probs.append(np.asarray(metrics["probs"]))
+        all_labels.append(np.asarray(batch["label"]))
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if i % cfg.log_every == 0:
+            progress.display(i)
+
+    em = _epoch_metrics(all_probs, all_labels, cfg.num_classes)
+    em["loss"] = losses.avg
+    for k, m in term_meters.items():
+        em[k] = m.avg
+    if writer is not None:
+        writer.add_scalars(em, epoch, prefix=("train/" if train
+                                              else "valid/"))
+    return state, em
+
+
+def fit(cfg: Config, train_loader, valid_loader,
+        save_dir: Optional[str] = None, use_mesh: bool = True,
+        n_epochs: Optional[int] = None) -> Dict:
+    """Full training run; returns summary dict with best valid AUC."""
+    save_dir = save_dir or make_save_dir(cfg)
+    dump_config(cfg, save_dir)
+    writer = MetricWriter(save_dir)
+
+    model = build_model(cfg)
+    first = next(iter(train_loader))
+    init_batch = {k: v for k, v in first.items() if k != "ID"}
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = create_train_state(model, cfg, init_batch, rng,
+                               steps_per_epoch=len(train_loader))
+
+    start_epoch = cfg.start_epoch
+    if cfg.resume:
+        state, start_epoch = ckpt_lib.resume(state, cfg.resume)
+        print(f"=> resumed from '{cfg.resume}' (epoch {start_epoch})")
+    else:
+        for flag, path, branch in (
+                (cfg.pretrainedExt_CT, cfg.pretrainedExt_CT_pth,
+                 "extractor_CT"),
+                (cfg.pretrainedExt_pathology,
+                 cfg.pretrainedExt_pathology_pth, "extractor_pathology"),
+                (cfg.pretrainedExt_CI, cfg.pretrainedExt_CI_pth,
+                 "clinic_extractor")):
+            if flag and path:
+                state = ckpt_lib.restore_branch(state, path, branch)
+                print(f"=> loaded pretrained {branch} from {path}")
+
+    mesh = None
+    if use_mesh and jax.device_count() > 1:
+        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+        state = replicate(state, mesh)
+
+    train_step = make_train_step(cfg, donate=False)
+    eval_step = make_eval_step(cfg)
+
+    best_auc = 0.0
+    summary: Dict = {}
+    for epoch in range(start_epoch, n_epochs or cfg.n_epochs):
+        train_loader.set_epoch(epoch)
+        print(save_dir)
+        state, tm = run_epoch(train_step, state, train_loader, mesh, rng,
+                              epoch, cfg, train=True, writer=writer)
+        _, vm = run_epoch(eval_step, state, valid_loader, mesh, rng,
+                          epoch, cfg, train=False, writer=writer)
+        is_best = vm["auc"] >= best_auc
+        if is_best:
+            best_auc = vm["auc"]
+        if (not cfg.save_best) or is_best:
+            ckpt_lib.save_checkpoint(state, save_dir, epoch,
+                                     is_best=is_best)
+        summary = {"epoch": epoch, "train": tm, "valid": vm,
+                   "best_auc": best_auc, "save_dir": save_dir}
+    writer.close()
+    return summary

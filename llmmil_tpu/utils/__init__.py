@@ -1,0 +1,6 @@
+from .run_dir import make_save_dir, dump_config
+from .meters import AverageMeter, ProgressMeter
+from .logging import MetricWriter
+
+__all__ = ["make_save_dir", "dump_config", "AverageMeter", "ProgressMeter",
+           "MetricWriter"]

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Evaluation CLI — the ``python test_ddp.py …`` equivalent.
+
+Loads ``--test_pth`` (a run dir containing checkpoint_best, or a checkpoint
+path), runs external-hospital inference, selects/applies the decision
+threshold (valid mode: Youden; test mode: --best_thres), writes the
+per-patient table + ROC.png into a Predictions dir mirroring the SavedModels
+layout (test_ddp.py:129-139).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    from llmmil_tpu.config import create_arg_parser
+
+    parser = create_arg_parser()
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--cpu", action="store_true")
+    ns = parser.parse_args(argv)
+
+    import jax
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+    from llmmil_tpu.config import Config
+    names = {f.name for f in dataclasses.fields(Config)}
+    cfg = Config(**{k: v for k, v in vars(ns).items() if k in names})
+
+    from llmmil_tpu.data import BatchLoader, MultimodalDataset, \
+        SyntheticCohort
+    from llmmil_tpu.eval import evaluate
+
+    mode = cfg.mode if cfg.mode in ("valid", "test") else "test"
+    if ns.synthetic:
+        syn = SyntheticCohort(cfg, n_per_hospital=8, seed=cfg.seed)
+        ds = syn.dataset(cfg, mode)
+    else:
+        ds = MultimodalDataset(cfg, mode)
+    loader = BatchLoader(ds, max(cfg.batch_size, 1), shuffle=False)
+
+    ckpt = None
+    if cfg.test_pth:
+        ckpt = cfg.test_pth
+        if os.path.isdir(ckpt) and os.path.exists(
+                os.path.join(ckpt, "checkpoint_best")):
+            ckpt = os.path.join(ckpt, "checkpoint_best")
+        out_dir = os.path.join(
+            os.path.dirname(ckpt).replace("SavedModels", "Predictions"))
+    else:
+        out_dir = os.path.join(cfg.save_dir, "Predictions", "untrained")
+
+    res = evaluate(cfg, loader, checkpoint_path=ckpt, out_dir=out_dir,
+                   mode=mode)
+    print(f"AUC {res['auc']:.4f}  ACC {res['acc']:.4f}  "
+          f"prec {res['precision']:.4f}  rec {res['recall']:.4f}  "
+          f"thr {res['threshold']:.4f}  "
+          f"{res['per_sample_time'] * 1e3:.1f} ms/batch")
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -36,12 +36,12 @@ def test_abmil_matches_torch():
 
     model = M.ABMIL(L=L, D=D, K=K)
     params = {
-        "attention_V": {"kernel": tv.weight.detach().numpy().T,
-                        "bias": tv.bias.detach().numpy()},
-        "attention_U": {"kernel": tu.weight.detach().numpy().T,
-                        "bias": tu.bias.detach().numpy()},
-        "attention_weights": {"kernel": tw.weight.detach().numpy().T,
-                              "bias": tw.bias.detach().numpy()},
+        "V_kernel": tv.weight.detach().numpy().T,
+        "V_bias": tv.bias.detach().numpy(),
+        "U_kernel": tu.weight.detach().numpy().T,
+        "U_bias": tu.bias.detach().numpy(),
+        "w_kernel": tw.weight.detach().numpy().T,
+        "w_bias": tw.bias.detach().numpy(),
     }
     pooled, att_j = model.apply({"params": params}, jnp.array(x))
     np.testing.assert_allclose(_np(pooled[0]), want, atol=1e-5)
