@@ -73,6 +73,13 @@ class Config:
     model_CI: str = "simpleFCs_v1"     # simpleFCs_v{1,1d,2,2d} | CLIP
     aggregator: str = "TransMIL"       # ABMIL | ABMIL_v2 | TransMIL | TransMIL_seperate | TransMIL_per_modality | -
     model_family: str = "aggregator"   # aggregator | clip (late fusion) | concat (early baseline)
+    # aggregator_tmp variant (aggregator_tmp.py:120-126): separate clinical
+    # encoders + per-modality TwoWayTransformers instead of the shared ones
+    separate_CI_encoders: int = 0
+    # SwinUNETR crop-MIL overrides (0/[] → reference defaults: 100 crops of
+    # 96³, or 3 mask-centred crops for the wMask variant)
+    swin_n_subsample: int = 0
+    swin_crop: List[int] = field(default_factory=list)
 
     # ---- prompts (config.py:63-67) ----
     learnablePrompt: int = 1

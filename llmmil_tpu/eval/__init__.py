@@ -1,3 +1,4 @@
 from .test_driver import evaluate, roc_curve_plot
+from .saliency import saliency_map, grad_cam
 
-__all__ = ["evaluate", "roc_curve_plot"]
+__all__ = ["evaluate", "roc_curve_plot", "saliency_map", "grad_cam"]

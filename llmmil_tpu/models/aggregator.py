@@ -45,37 +45,45 @@ from .twoway import TwoWayTransformer
 EMBED_DIM = 512
 
 
+def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
+    """CT-extractor factory (aggregator.py:17-34 dispatch)."""
+    kw = {} if name is None else {"name": name}
+    if cfg.model_CT in ("resnetMC3_18", "resnetMC3_18_wMask"):
+        return ResnetMC3_18(spacing_xy=cfg.spacing[0], dtype=dtype, **kw)
+    if cfg.model_CT == "medicalNet":
+        return MedicalNetFeatures(dtype=dtype, **kw)
+    if cfg.model_CT == "resnet2plus1d_18":
+        return Resnet2plus1D_18(dtype=dtype, **kw)
+    if "SwinUNETR" in cfg.model_CT:
+        # 100 free crops vs 3 mask-centred crops (swinUNETR.py:27 /
+        # swinUNETR_wMask.py:49); override for small/debug volumes
+        n_sub = cfg.swin_n_subsample or (
+            3 if "wMask" in cfg.model_CT else 100)
+        crop = tuple(cfg.swin_crop) if cfg.swin_crop else (96, 96, 96)
+        return SwinUNETRMIL(n_subsample=n_sub, crop=crop, dtype=dtype, **kw)
+    if cfg.model_CT == "MViT":
+        return MViTChunked(n_classes=cfg.num_classes, dtype=dtype, **kw)
+    raise ValueError(f"unknown model_CT {cfg.model_CT}")
+
+
 class Aggregator(nn.Module):
     cfg: Config
     dtype: jnp.dtype = jnp.float32
 
     def _ct_extractor(self):
-        c = self.cfg
-        if c.model_CT in ("resnetMC3_18", "resnetMC3_18_wMask"):
-            return ResnetMC3_18(spacing_xy=c.spacing[0], dtype=self.dtype,
-                                name="extractor_CT")
-        if c.model_CT == "medicalNet":
-            return MedicalNetFeatures(dtype=self.dtype, name="extractor_CT")
-        if c.model_CT == "resnet2plus1d_18":
-            return Resnet2plus1D_18(dtype=self.dtype, name="extractor_CT")
-        if "SwinUNETR" in c.model_CT:
-            return SwinUNETRMIL(dtype=self.dtype, name="extractor_CT")
-        if c.model_CT == "MViT":
-            return MViTChunked(n_classes=c.num_classes, dtype=self.dtype,
-                               name="extractor_CT")
-        raise ValueError(f"unknown model_CT {c.model_CT}")
+        return make_ct_extractor(self.cfg, self.dtype, name="extractor_CT")
 
-    def _clinic_extractor(self):
+    def _clinic_extractor(self, name: str = "clinic_extractor"):
         c = self.cfg
         n = c.n_clinical
         if c.model_CI == "simpleFCs_v1":
-            return SimpleFCsV1(n, self.dtype, name="clinic_extractor")
+            return SimpleFCsV1(n, self.dtype, name=name)
         if c.model_CI == "simpleFCs_v1d":
-            return SimpleFCsV1d(n, self.dtype, name="clinic_extractor")
+            return SimpleFCsV1d(n, self.dtype, name=name)
         if c.model_CI == "simpleFCs_v2":
-            return SimpleFCsV2(self.dtype, name="clinic_extractor")
+            return SimpleFCsV2(self.dtype, name=name)
         if c.model_CI == "simpleFCs_v2d":
-            return SimpleFCsV2d(self.dtype, name="clinic_extractor")
+            return SimpleFCsV2d(self.dtype, name=name)
         if c.model_CI == "CLIP":
             from .clip_text import CLIPTextConfig
             tcfg = CLIPTextConfig(
@@ -85,7 +93,7 @@ class Aggregator(nn.Module):
             return CoOpClinicalEncoder(
                 n_prompts=n + 1, n_ctx=c.n_ctx,
                 learnable=bool(c.learnablePrompt), cfg=tcfg,
-                dtype=self.dtype, name="clinic_extractor")
+                dtype=self.dtype, name=name)
         raise ValueError(f"unknown model_CI {c.model_CI}")
 
     def _use_pallas(self) -> bool:
@@ -140,9 +148,19 @@ class Aggregator(nn.Module):
         outputs: Dict[str, Any] = {}
 
         # ---- clinical branch -------------------------------------------
-        x_ci = self._clinic_extractor()(batch["input_CI"])
-        if x_ci.ndim == 2:
-            x_ci = x_ci[:, None, :]                     # (B, 1, 512)
+        def encode_ci(name):
+            y = self._clinic_extractor(name)(batch["input_CI"])
+            return y[:, None, :] if y.ndim == 2 else y
+
+        if c.separate_CI_encoders and has_ct and has_pth:
+            # aggregator_tmp: one CLIP text encoder per modality
+            # (aggregator_tmp.py:120-126)
+            x_ci_ct = encode_ci("clinic_extractor_CT")
+            x_ci_pth = encode_ci("clinic_extractor_Pth")
+            x_ci = x_ci_ct
+        else:
+            x_ci = encode_ci("clinic_extractor")
+            x_ci_ct = x_ci_pth = x_ci
 
         def tanh_proj(x, name):
             return jnp.tanh(nn.Dense(EMBED_DIM, dtype=dt, name=name)(x))
@@ -151,14 +169,38 @@ class Aggregator(nn.Module):
         ct_tokens = pth_tokens = None
         pth_mask = batch.get("mask_pathology")
         if has_ct:
-            ct_in = batch["input_CT"]
-            if "wMask" in c.model_CT and "mask_CT" in batch:
-                # mask-aware variant: tumour mask as a 2nd input channel
-                # (resnetMC3_wMask.py:8-14 — the conv stem is channel-
-                # agnostic here, so the same trunk serves both)
-                ct_in = jnp.concatenate(
-                    [ct_in, batch["mask_CT"].astype(ct_in.dtype)], axis=-1)
-            feat = self._ct_extractor()(ct_in, train=train)
+            if "ct_features" in batch:
+                # precomputed extractor features: the reference's SwinUNETR
+                # feature path (dataset.py:253-256) and the Grad-CAM hook
+                feat = batch["ct_features"]
+            else:
+                ct_in = batch["input_CT"]
+                if "SwinUNETR" in c.model_CT:
+                    center = None
+                    if "wMask" in c.model_CT and "mask_CT" in batch:
+                        # SwinUNETR_wMask: crops constrained around the
+                        # tumour-mask centroid (swinUNETR_wMask.py:48-77)
+                        m = batch["mask_CT"][..., 0]
+                        tot = jnp.maximum(m.sum(), 1.0)
+                        center = jnp.stack([
+                            (m.sum(axis=(0, 2, 3))
+                             * jnp.arange(m.shape[1])).sum() / tot,
+                            (m.sum(axis=(0, 1, 3))
+                             * jnp.arange(m.shape[2])).sum() / tot,
+                            (m.sum(axis=(0, 1, 2))
+                             * jnp.arange(m.shape[3])).sum() / tot,
+                        ]).astype(jnp.int32)
+                    feat = self._ct_extractor()(ct_in, center=center,
+                                                train=train)
+                else:
+                    if "wMask" in c.model_CT and "mask_CT" in batch:
+                        # mask-aware variant: tumour mask as a 2nd input
+                        # channel (resnetMC3_wMask.py:8-14 — the conv stem
+                        # is channel-agnostic, so the same trunk serves both)
+                        ct_in = jnp.concatenate(
+                            [ct_in, batch["mask_CT"].astype(ct_in.dtype)],
+                            axis=-1)
+                    feat = self._ct_extractor()(ct_in, train=train)
             if isinstance(feat, tuple):                 # MViT → (emb, attn)
                 feat = feat[0]
             if feat.ndim == 2:                          # pooled vector
@@ -187,12 +229,20 @@ class Aggregator(nn.Module):
         attns = []
         emb_ct2ci = emb_pth2ci = None
         if has_ct and has_pth:
-            tw = twoway("TwoWayTransformer_Both")
-            ci_ct = tanh_proj(x_ci, "fc_CI2CT")
-            ci_pth = tanh_proj(x_ci, "fc_CI2Pth")
-            emb_ct2ci, x_ci2ct = tw(ct_tokens, pe_for(ct_tokens), ci_ct)
-            emb_pth2ci, x_ci2pth = tw(pth_tokens, pe_for(pth_tokens), ci_pth,
-                                      image_mask=pth_mask)
+            if c.separate_CI_encoders:
+                tw_ct = twoway("TwoWayTransformer_CT")
+                tw_pth = twoway("TwoWayTransformer_Pth")
+            else:
+                tw_ct = tw_pth = twoway("TwoWayTransformer_Both")
+            ci_ct = tanh_proj(x_ci_ct, "fc_CI2CT")
+            ci_pth = tanh_proj(x_ci_pth, "fc_CI2Pth")
+            emb_ct2ci, x_ci2ct = tw_ct(ct_tokens, pe_for(ct_tokens), ci_ct)
+            emb_pth2ci, x_ci2pth = tw_pth(pth_tokens, pe_for(pth_tokens),
+                                          ci_pth, image_mask=pth_mask)
+            if c.separate_CI_encoders:
+                # aggregator_tmp's 5-tuple contract (aggregator_tmp.py:204-211)
+                outputs["emb_CI2CT"] = x_ci2ct
+                outputs["emb_CI2Pth"] = x_ci2pth
             if c.aggregator == "TransMIL_seperate":
                 agg_ct = TransMIL(c.num_classes, L=EMBED_DIM, dtype=dt,
                                   name="aggregator_CT")

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from .abmil import ABMIL
-from .aggregator import EMBED_DIM, Aggregator
+from .aggregator import EMBED_DIM
 from .ct_mc3 import ResnetMC3_18
 
 
@@ -63,8 +63,16 @@ class AggregatorClip(nn.Module):
         if "CI" in c.modality or batch.get("input_CI") is not None:
             ci = batch["input_CI"]
             if ci.dtype in (jnp.int32, jnp.int64):   # text tokens
-                agg = Aggregator(cfg=c, dtype=self.dtype)
-                x_ci = agg._clinic_extractor()(ci).mean(axis=1)
+                from .clip_text import CLIPTextConfig, CoOpClinicalEncoder
+                tcfg = CLIPTextConfig(
+                    vocab_size=c.clip_vocab, context_length=c.clip_context,
+                    width=c.clip_width, heads=c.clip_heads,
+                    layers=c.clip_layers, embed_dim=c.clip_embed)
+                enc = CoOpClinicalEncoder(
+                    n_prompts=c.n_clinical + 1, n_ctx=c.n_ctx,
+                    learnable=bool(c.learnablePrompt), cfg=tcfg,
+                    dtype=self.dtype, name="clinic_extractor")
+                x_ci = enc(ci).mean(axis=1)
             else:
                 x_ci = nn.relu(nn.Dense(EMBED_DIM, dtype=self.dtype,
                                         name="enc_CI")(ci))

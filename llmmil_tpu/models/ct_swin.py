@@ -31,15 +31,20 @@ class _WindowBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (B, D, H, W, C) with D,H,W divisible by window
         b, d, h, w, c = x.shape
-        ws = self.window
+
+        def axis_window(dim):
+            ws = min(self.window, dim)
+            return ws if dim % ws == 0 else dim   # whole-axis fallback
+
+        wd, wh, ww_ = axis_window(d), axis_window(h), axis_window(w)
         y = nn.LayerNorm(name="ln1")(x)
-        y = y.reshape(b, d // ws, ws, h // ws, ws, w // ws, ws, c)
-        y = y.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, ws ** 3, c)
+        y = y.reshape(b, d // wd, wd, h // wh, wh, w // ww_, ww_, c)
+        y = y.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            -1, wd * wh * ww_, c)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype, name="attn")(y, y)
-        y = y.reshape(b, d // ws, h // ws, w // ws, ws, ws, ws, c)
+        y = y.reshape(b, d // wd, h // wh, w // ww_, wd, wh, ww_, c)
         y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, d, h, w, c)
         x = x + y
         y = nn.LayerNorm(name="ln2")(x)
@@ -56,6 +61,10 @@ class _PatchMerge3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, d, h, w, c = x.shape
+        pad = [(0, d % 2), (0, h % 2), (0, w % 2)]
+        if any(p[1] for p in pad):
+            x = jnp.pad(x, ((0, 0), *pad, (0, 0)))
+            b, d, h, w, c = x.shape
         x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
         x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
             b, d // 2, h // 2, w // 2, 8 * c)
@@ -118,15 +127,18 @@ class SwinUNETRMIL(nn.Module):
         starts = _random_crop_starts(rng, self.n_subsample, vol_shape,
                                      self.crop, center)
 
-        encoder = SwinViT3D(dtype=self.dtype, name="swinvit")
-
-        def encode_crop(start):
-            crop = jax.lax.dynamic_slice(
+        def get_crop(start):                   # pure slicing → vmap-safe
+            return jax.lax.dynamic_slice(
                 x, (0, start[0], start[1], start[2], 0),
                 (b, *self.crop, x.shape[-1]))
-            return encoder(crop)                        # (B, 768)
 
-        feats = jax.lax.map(encode_crop, starts)        # (n, B, 768)
+        crops = jax.vmap(get_crop)(starts)              # (n, B, ...)
+        crops = crops.reshape(self.n_subsample * b, *self.crop,
+                              x.shape[-1])
+        # one batched encoder pass over all crops (vs the reference's
+        # python loop, swinUNETR.py:50-57) — a single big MXU workload
+        feats = SwinViT3D(dtype=self.dtype, name="swinvit")(crops)
+        feats = feats.reshape(self.n_subsample, b, -1)
         feats = jnp.swapaxes(feats, 0, 1)               # (B, n, 768)
 
         # in-module gated-attention MIL over crops (swinUNETR.py:33-44)

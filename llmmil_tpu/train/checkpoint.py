@@ -22,7 +22,10 @@ from .state import TrainState
 
 
 def _to_numpy(tree: Any) -> Any:
-    return jax.tree_util.tree_map(np.asarray, tree)
+    # force a real host copy: on remote-tunneled backends a lazy np.asarray
+    # view can reach orbax's serializer before the transfer materialises
+    return jax.tree_util.tree_map(
+        lambda x: np.array(jax.device_get(x)), tree)
 
 
 def save_checkpoint(state: TrainState, save_dir: str, epoch: int,

@@ -95,6 +95,22 @@ def test_trimodal_clip_transmil_three_heads():
     assert ctx_g > 0
 
 
+def test_trimodal_separate_ci_encoders():
+    """aggregator_tmp variant: two clinical encoders + per-modality
+    TwoWayTransformers + CI2CT/CI2Pth outputs."""
+    cfg = Config(modality=["CT", "pathology"], model_CT="resnetMC3_18",
+                 model_pathology="ABMIL", model_CI="simpleFCs_v1",
+                 aggregator="ABMIL", loss_point="Last",
+                 compute_dtype="float32", spacing=[2.0, 2.0, 2.5],
+                 separate_CI_encoders=1)
+    out, params = _run(cfg)
+    assert out["probs"].shape == (2, 2)
+    assert "emb_CI2CT" in out and "emb_CI2Pth" in out
+    p = params["params"]
+    assert "clinic_extractor_CT" in p and "clinic_extractor_Pth" in p
+    assert "TwoWayTransformer_CT" in p and "TwoWayTransformer_Pth" in p
+
+
 def test_trimodal_transmil_seperate():
     cfg = Config(modality=["CT", "pathology"], model_CT="resnetMC3_18",
                  model_pathology="ABMIL", model_CI="simpleFCs_v1",

@@ -1,0 +1,44 @@
+"""SwinUNETR crop-MIL encoder tests (small windows/crops for CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llmmil_tpu.config import Config
+from llmmil_tpu.models import SwinUNETRMIL, build_model
+
+
+def test_swin_vit_crop_mil_shapes():
+    m = SwinUNETRMIL(n_subsample=2, crop=(8, 8, 8))
+    # small windows: SwinViT3D default window=6 doesn't divide 4³ grids —
+    # use a module with window 2
+    from llmmil_tpu.models.ct_swin import SwinViT3D
+    enc = SwinViT3D(embed_dim=8, depths=(1, 1, 1, 1), heads=(1, 2, 2, 2),
+                    window=1)
+    x = jnp.ones((1, 32, 32, 32, 1))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    out = enc.apply(params, x)
+    assert out.shape == (1, 8 * 16)        # embed_dim · 2⁴
+
+
+def test_swin_unetr_wmask_in_aggregator():
+    cfg = Config(modality=["CT"], model_CT="SwinUNETR_wMask",
+                 model_CI="simpleFCs_v1", aggregator="ABMIL",
+                 loss_point="Last", compute_dtype="float32",
+                 spacing=[2.0, 2.0, 2.5], learnablePrompt=0,
+                 swin_n_subsample=2, swin_crop=[12, 12, 12])
+    model = build_model(cfg)
+    rs = np.random.RandomState(0)
+    mask = np.zeros((1, 24, 24, 24, 1), np.float32)
+    mask[0, 8:14, 10:16, 10:16] = 1.0
+    batch = {"input_CT": jnp.array(rs.rand(1, 24, 24, 24, 1), jnp.float32),
+             "mask_CT": jnp.array(mask),
+             "input_CI": jnp.array(rs.randn(1, 9), jnp.float32)}
+    # SwinViT default window 6 doesn't divide a 12³ crop's 6³ grid evenly at
+    # later stages; this test exercises wiring, window=6 divides 6 once —
+    # use interpret-friendly small crop that the default tower accepts
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch,
+                      rngs={"crops": jax.random.PRNGKey(1)})
+    assert out["probs"].shape == (1, 2)
+    assert np.all(np.isfinite(np.asarray(out["probs"])))

@@ -1,0 +1,86 @@
+"""Weight-import parity: a hand-built torch MC3 trunk (torchvision video
+ResNet semantics) vs VideoResNetFeatures with converted weights."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as tnn
+
+from llmmil_tpu.models import VideoResNetFeatures
+from llmmil_tpu.models.torch_import import convert_mc3_state_dict
+
+
+def _conv3x3(inp, out, temporal, stride):
+    if temporal:
+        return tnn.Conv3d(inp, out, (3, 3, 3), (stride,) * 3,
+                          (1, 1, 1), bias=False)
+    return tnn.Conv3d(inp, out, (1, 3, 3), (1, stride, stride),
+                      (0, 1, 1), bias=False)
+
+
+class _Block(tnn.Module):
+    def __init__(self, inp, out, temporal, stride):
+        super().__init__()
+        self.conv1 = tnn.Sequential(_conv3x3(inp, out, temporal, stride),
+                                    tnn.BatchNorm3d(out), tnn.ReLU())
+        self.conv2 = tnn.Sequential(
+            _conv3x3(out, out, temporal, 1), tnn.BatchNorm3d(out))
+        self.downsample = None
+        if stride != 1 or inp != out:
+            s = (stride,) * 3 if temporal else (1, stride, stride)
+            self.downsample = tnn.Sequential(
+                tnn.Conv3d(inp, out, 1, s, bias=False),
+                tnn.BatchNorm3d(out))
+        self.relu = tnn.ReLU()
+
+    def forward(self, x):
+        y = self.conv2(self.conv1(x))
+        r = self.downsample(x) if self.downsample is not None else x
+        return self.relu(r + y)
+
+
+class _MC3Trunk(tnn.Module):
+    """Mirrors torchvision mc3_18 incl. its state_dict key layout."""
+
+    def __init__(self, layers=(2, 2, 2, 2), chans=(64, 128, 256, 512)):
+        super().__init__()
+        self.stem = tnn.Sequential(
+            tnn.Conv3d(3, 64, (3, 7, 7), (1, 2, 2), (1, 3, 3), bias=False),
+            tnn.BatchNorm3d(64), tnn.ReLU())
+        temporal = (True, False, False, False)
+        inp = 64
+        for i, (n, c, t) in enumerate(zip(layers, chans, temporal)):
+            blocks = []
+            for b in range(n):
+                stride = 2 if (i > 0 and b == 0) else 1
+                blocks.append(_Block(inp, c, t, stride))
+                inp = c
+            setattr(self, f"layer{i + 1}", tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = self.stem(x)
+        for i in range(4):
+            x = getattr(self, f"layer{i + 1}")(x)
+        return x
+
+
+def test_mc3_weight_import_parity():
+    torch.manual_seed(0)
+    # small config to keep the 1-core CPU run fast: 1 block/stage
+    layers = (1, 1, 1, 1)
+    trunk = _MC3Trunk(layers=layers).eval()
+    sd = trunk.state_dict()
+
+    x = torch.randn(1, 3, 4, 16, 16)
+    with torch.no_grad():
+        want = trunk(x).numpy()                      # (1, C, D, H, W)
+
+    params, stats = convert_mc3_state_dict(sd, layers=layers)
+    model = VideoResNetFeatures(layers=layers, remat=False)
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))   # NDHWC
+    got = model.apply({"params": params, "batch_stats": stats}, x_j,
+                      train=False)
+    got_ncdhw = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(got_ncdhw, want, atol=2e-4)
