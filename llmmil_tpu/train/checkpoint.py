@@ -3,70 +3,88 @@
 Parity targets: ``utils.py:192-195`` (save_checkpoint + best copy),
 ``train_ddp.py:120-152`` (resume from {epoch, state_dict, optimizer}),
 ``train_ddp.py:154-185`` (per-branch pretrained-extractor restore by key
-intersection + freezing).  TPU-native: Orbax PyTree checkpoints of
-{step, params, opt_state, batch_stats}; branch restore merges a saved
-params subtree into the live tree by path intersection.
+intersection + freezing).
+
+Format: single-file flax msgpack of {epoch, params, opt_state, batch_stats}.
+(Orbax/tensorstore OCDBT was tried first but silently fails to finalise
+checkpoints under paths containing the reference's run-dir characters
+``()[]:`` — the per-process write lands, the top-level manifest merge never
+happens, and restore dies with NOT_FOUND.  msgpack is path-agnostic, and at
+this model scale (≤ a few hundred MB) a single file is also faster.)
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
-import orbax.checkpoint as ocp
+from flax import serialization
 
 from .state import TrainState
 
 
 def _to_numpy(tree: Any) -> Any:
     # force a real host copy: on remote-tunneled backends a lazy np.asarray
-    # view can reach orbax's serializer before the transfer materialises
+    # view can reach the serializer before the transfer materialises
     return jax.tree_util.tree_map(
         lambda x: np.array(jax.device_get(x)), tree)
 
 
+def _ckpt_dict(state: TrainState, epoch: int) -> dict:
+    return {"epoch": epoch + 1,
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "batch_stats": state.batch_stats or {}}
+
+
 def save_checkpoint(state: TrainState, save_dir: str, epoch: int,
                     is_best: bool = False) -> str:
-    """checkpoint_{epoch:04d} + checkpoint_last (+ checkpoint_best copy)."""
-    if jax.process_index() != 0:            # host-0 gating (train_ddp:211)
+    """checkpoint_{epoch:04d} + checkpoint_last (+ checkpoint_best copy),
+    host-0 gated (train_ddp.py:211-244)."""
+    if jax.process_index() != 0:
         return ""
-    ckpt = {"epoch": epoch + 1,
-            "params": _to_numpy(state.params),
-            "opt_state": _to_numpy(state.opt_state),
-            "batch_stats": _to_numpy(state.batch_stats or {})}
-    saver = ocp.PyTreeCheckpointer()
-    path = os.path.join(os.path.abspath(save_dir),
-                        f"checkpoint_{epoch:04d}")
-    saver.save(path, ckpt, force=True)
-    last = os.path.join(os.path.abspath(save_dir), "checkpoint_last")
-    if os.path.exists(last):
-        shutil.rmtree(last)
-    shutil.copytree(path, last)
+    blob = serialization.to_bytes(_to_numpy(_ckpt_dict(state, epoch)))
+    path = os.path.join(save_dir, f"checkpoint_{epoch:04d}.msgpack")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    shutil.copyfile(path, os.path.join(save_dir,
+                                       "checkpoint_last.msgpack"))
     if is_best:
-        best = os.path.join(os.path.abspath(save_dir), "checkpoint_best")
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
+        shutil.copyfile(path, os.path.join(save_dir,
+                                           "checkpoint_best.msgpack"))
+    return path
+
+
+def _resolve(path: str) -> str:
+    """Accept run dirs, stem names, or legacy dir-style paths."""
+    if os.path.isdir(path):
+        for cand in ("checkpoint_best.msgpack", "checkpoint_last.msgpack"):
+            p = os.path.join(path, cand)
+            if os.path.exists(p):
+                return p
+    if not path.endswith(".msgpack") and os.path.exists(path + ".msgpack"):
+        return path + ".msgpack"
     return path
 
 
 def load_checkpoint(path: str) -> dict:
-    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    """Raw restore → nested plain dicts (no structure template)."""
+    with open(_resolve(path), "rb") as f:
+        return serialization.msgpack_restore(f.read())
 
 
 def resume(state: TrainState, path: str) -> tuple[TrainState, int]:
     """Restore params/opt_state/batch_stats + start epoch
-    (train_ddp.py:124-143).  Restores against the live state's pytree
-    structure so optax NamedTuple states come back typed."""
-    template = {"epoch": 0,
-                "params": _to_numpy(state.params),
-                "opt_state": _to_numpy(state.opt_state),
-                "batch_stats": _to_numpy(state.batch_stats or {})}
-    ckpt = ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
-                                            item=template)
+    (train_ddp.py:124-143) against the live state's pytree structure."""
+    with open(_resolve(path), "rb") as f:
+        blob = f.read()
+    template = _ckpt_dict(state, 0)
+    ckpt = serialization.from_bytes(template, blob)
     state = state.replace(params=ckpt["params"],
                           opt_state=ckpt["opt_state"],
                           batch_stats=ckpt.get("batch_stats", {}))
@@ -77,7 +95,7 @@ def restore_branch(state: TrainState, ckpt_path: str,
                    branch: str) -> TrainState:
     """Merge a saved checkpoint's ``params[branch]`` subtree into the live
     params by key intersection (train_ddp.py:154-166 semantics: only keys
-    present in both are copied)."""
+    present in both, with matching shapes, are copied)."""
     ckpt = load_checkpoint(ckpt_path)
     saved = ckpt["params"].get(branch)
     if saved is None:

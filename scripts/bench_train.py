@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Real-size flagship training-step benchmark on the attached TPU.
+
+Measures the production configuration (SURVEY §6: CT 160×512×512 at spacing
+0.6869, pathology bags ≤15,592×768, CLIP-text CI, TransMIL aggregator,
+CT-Pth-Last tri-loss) — one full jitted train step (fwd+bwd+update), bf16
+compute, remat on the CT trunk.  Marginal timing (K-chained vs 1) to cancel
+the tunnel RPC latency.
+
+Usage: python scripts/bench_train.py [--batch 1] [--bag 15616] [--depth 160]
+       [--hw 512] [--iters 4] [--eval]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--bag", type=int, default=15616)   # 15592 → /128 bucket
+    p.add_argument("--depth", type=int, default=160)
+    p.add_argument("--hw", type=int, default=512)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--eval", action="store_true",
+                   help="benchmark inference instead of training")
+    ns = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from llmmil_tpu.config import Config
+    from llmmil_tpu.models import build_model
+    from llmmil_tpu.train import create_train_state, make_train_step, \
+        make_eval_step
+
+    cfg = Config(modality=["CT", "pathology"], model_CT="resnetMC3_18",
+                 model_pathology="TransMIL", model_CI="CLIP",
+                 CI_input_version="text", CI_prompt_version="devided",
+                 aggregator="TransMIL", loss_point="CT-Pth-Last",
+                 loss="BCE+textCosSim", spacing=[0.6869, 0.6869, 3.0],
+                 ct_shape=[ns.depth, ns.hw, ns.hw], ct_hw_override=ns.hw,
+                 compute_dtype="bfloat16", learnablePrompt=1, n_ctx=8,
+                 batch_size=ns.batch)
+    model = build_model(cfg)
+    rs = np.random.RandomState(0)
+    b = ns.batch
+    toks = rs.randint(1, cfg.clip_vocab - 2, (b, 10, cfg.clip_context))
+    toks[..., -1] = cfg.clip_vocab - 1
+    batch = {
+        "input_CT": jnp.asarray(rs.rand(b, ns.depth, ns.hw, ns.hw, 1),
+                                jnp.float32),
+        "input_pathology": jnp.asarray(rs.randn(b, ns.bag, 768),
+                                       jnp.float32),
+        "mask_pathology": jnp.asarray(
+            np.arange(ns.bag)[None] < rs.randint(ns.bag // 2, ns.bag,
+                                                 (b, 1))),
+        "input_CI": jnp.asarray(toks, jnp.int32),
+        "label": jnp.asarray(np.eye(2)[rs.randint(0, 2, b)], jnp.float32),
+    }
+    print(f"init... CT {batch['input_CT'].shape} bag "
+          f"{batch['input_pathology'].shape}", flush=True)
+    t0 = time.perf_counter()
+    state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"init {time.perf_counter() - t0:.1f}s, params {n_params / 1e6:.1f}M",
+          flush=True)
+
+    rng = jax.random.PRNGKey(1)
+    if ns.eval:
+        step = make_eval_step(cfg)
+
+        def once(state, batch):
+            return step(state, batch)["loss"]
+    else:
+        train_step = make_train_step(cfg, donate=False)
+
+        def once(state, batch):
+            s2, m = train_step(state, batch, rng)
+            return m["loss"]
+
+    t0 = time.perf_counter()
+    loss = float(once(state, batch))
+    print(f"compile+first step {time.perf_counter() - t0:.1f}s, "
+          f"loss {loss:.4f}", flush=True)
+
+    # marginal timing
+    def run_k(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = once(state, batch)
+        float(out)
+        return time.perf_counter() - t0
+
+    run_k(1)
+    d1 = run_k(1)
+    dk = run_k(1 + ns.iters)
+    step_t = (dk - d1) / ns.iters
+    mode = "eval" if ns.eval else "train"
+    print(f"{mode} step: {step_t * 1e3:.1f} ms "
+          f"({b / step_t:.2f} samples/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

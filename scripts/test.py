@@ -46,12 +46,9 @@ def main(argv=None):
 
     ckpt = None
     if cfg.test_pth:
-        ckpt = cfg.test_pth
-        if os.path.isdir(ckpt) and os.path.exists(
-                os.path.join(ckpt, "checkpoint_best")):
-            ckpt = os.path.join(ckpt, "checkpoint_best")
-        out_dir = os.path.join(
-            os.path.dirname(ckpt).replace("SavedModels", "Predictions"))
+        ckpt = cfg.test_pth        # run dir or checkpoint file (resolved)
+        out_dir = (ckpt if os.path.isdir(ckpt) else os.path.dirname(ckpt)
+                   ).replace("SavedModels", "Predictions")
     else:
         out_dir = os.path.join(cfg.save_dir, "Predictions", "untrained")
 

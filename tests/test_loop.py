@@ -41,8 +41,12 @@ def test_fit_synthetic_two_epochs(tmp_path):
     sd = summary["save_dir"]
     assert os.path.exists(os.path.join(sd, "config.txt"))
     assert os.path.exists(os.path.join(sd, "config.json"))
-    assert os.path.exists(os.path.join(sd, "checkpoint_last"))
+    assert os.path.exists(os.path.join(sd, "checkpoint_last.msgpack"))
     assert os.path.exists(os.path.join(sd, "metrics.jsonl"))
+    # the run dir contains reference-style special chars; restore must work
+    from llmmil_tpu.train import checkpoint as ck
+    c = ck.load_checkpoint(sd)
+    assert c["epoch"] == 2
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -59,7 +63,8 @@ def test_checkpoint_roundtrip(tmp_path):
     path = ckpt_lib.save_checkpoint(state, str(tmp_path), epoch=0,
                                     is_best=True)
     assert os.path.exists(path)
-    assert os.path.exists(os.path.join(tmp_path, "checkpoint_best"))
+    assert os.path.exists(os.path.join(tmp_path,
+                                       "checkpoint_best.msgpack"))
 
     state2 = create_train_state(model, cfg, init, jax.random.PRNGKey(9))
     state2, epoch = ckpt_lib.resume(
@@ -82,7 +87,8 @@ def test_restore_branch_intersection(tmp_path):
     s2 = create_train_state(model, cfg, batch, jax.random.PRNGKey(5))
     before_head = np.asarray(s2.params["fc"]["kernel"]).copy()
     s2 = ckpt_lib.restore_branch(
-        s2, os.path.join(tmp_path, "checkpoint_0000"), "clinic_extractor")
+        s2, os.path.join(tmp_path, "checkpoint_0000.msgpack"),
+        "clinic_extractor")
     # clinic_extractor now equals s1's; head untouched
     np.testing.assert_allclose(
         np.asarray(s2.params["clinic_extractor"]["fc0"]["kernel"]),
