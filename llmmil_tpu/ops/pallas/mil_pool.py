@@ -7,22 +7,19 @@ up to ~16k rows into one feature vector via Ilse-style gated attention
     p   = masked_softmax(a)                      (over instances)
     M   = Σ_i p_i x_i
 
-Design (v3, single pass, flash-style):
-- each bag tile is DMA'd HBM→VMEM exactly once (double buffered);
-- the gate projections x@V / x@U are real (T, D) GEMMs on the MXU;
-- the two rank-1 contractions that would underutilise the MXU (logit
-  reduction over D and the Σ p_i x_i pooling over T) run on the VPU as
-  broadcast-multiply + axis reductions;
-- masking enters as an additive −∞ bias column DMA'd per tile;
-- the running (max, denominator, weighted-sum) triple is rescaled online, so
-  HBM traffic is ~half of XLA's unfused schedule;
-- raw logits stream back to an HBM output per tile; the attention
-  probabilities are one cheap XLA softmax outside the kernel.
+Unfused, XLA materialises the (N, D) gate activations and (N,) logits in HBM
+between kernels; this kernel streams each bag tile HBM→VMEM once per pass
+(double-buffered DMA), keeps the logits vector entirely in VMEM (≤64 KB), and
+does both gate matmuls and the weighted-sum matmul on the MXU:
+
+  pass 1: tile → [tanh(xV) ⊙ σ(xU)] w → logits scratch (VMEM)
+  softmax: masked, numerically stable, in VMEM
+  pass 2: tile → p_tile @ x_tile accumulated into the pooled output
 
 Backward is a custom VJP in plain JAX (recompute-from-residuals): the
-analytic gradients contract back onto well-shaped matmuls which XLA fuses;
-the forward is the latency-critical path (eval is batch-1 per patient in the
-reference, test_ddp.py:73).
+analytic gradients contract back onto the same matmul shapes and XLA fuses
+them well; the forward is the latency-critical path (eval is batch-1 per
+patient in the reference, test_ddp.py:73).
 """
 
 from __future__ import annotations
@@ -43,36 +40,29 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _mil_kernel(x_ref, bias_ref, wv_ref, bv_ref, wu_ref, bu_ref, ww_ref,
-                bw_ref, out_ref, logits_out_ref, xtile_vmem, bias_vmem,
-                lg_vmem, sem_x, sem_b, sem_o,
+def _mil_kernel(x_ref, mask_ref, wv_ref, bv_ref, wu_ref, bu_ref, ww_ref,
+                bw_ref, out_ref, attn_ref, logits_vmem, xtile_vmem, sem,
                 *, block_n: int, n_total: int):
-    """One grid program = one bag.  x_ref (B, N, L) and bias_ref (B, N, 1)
-    live in HBM (ANY); logits_out_ref (B, N, 1) is an HBM output."""
+    """One grid program = one bag.  x_ref is the full (B, N, L) array in
+    HBM (ANY space); the program's bag is selected by program_id and tiles
+    are DMA'd into VMEM scratch with double buffering."""
     n_tiles = n_total // block_n
     bag = pl.program_id(0)
 
-    def x_dma(slot, tile):
+    def get_dma(slot, tile):
         return pltpu.make_async_copy(
             x_ref.at[bag, pl.ds(tile * block_n, block_n), :],
-            xtile_vmem.at[slot], sem_x.at[slot])
+            xtile_vmem.at[slot], sem.at[slot])
 
-    def b_dma(slot, tile):
-        return pltpu.make_async_copy(
-            bias_ref.at[bag, pl.ds(tile * block_n, block_n), :],
-            bias_vmem.at[slot], sem_b.at[slot])
-
-    def o_dma(slot, tile):
-        return pltpu.make_async_copy(
-            lg_vmem.at[slot],
-            logits_out_ref.at[bag, pl.ds(tile * block_n, block_n), :],
-            sem_o.at[slot])
-
-    x_dma(0, 0).start()
-    b_dma(0, 0).start()
+    # ---- single pass: online (flash-style) masked softmax-pool -----------
+    # Each bag tile is read from HBM exactly ONCE: per tile we compute the
+    # gate logits, fold them into a running (max, denominator, weighted-sum)
+    # triple with exp-rescaling, and stash the raw logits as a (1, N) VMEM
+    # row (a (N, 1) column would pad every row to a 128-lane tile — 8 MB for
+    # 16k instances).  Half the HBM traffic of the unfused two-pass XLA
+    # schedule, which is HBM-bound.
+    get_dma(0, 0).start()
     l_dim = out_ref.shape[-1]
-    w_dt = xtile_vmem.dtype
-    ww_row = jnp.swapaxes(ww_ref[:], 0, 1)            # (1, D), tiny
 
     def body(tile, carry):
         m_run, s_run, acc = carry
@@ -80,37 +70,30 @@ def _mil_kernel(x_ref, bias_ref, wv_ref, bv_ref, wu_ref, bu_ref, ww_ref,
 
         @pl.when(tile + 1 < n_tiles)
         def _():
-            x_dma((tile + 1) % 2, tile + 1).start()
-            b_dma((tile + 1) % 2, tile + 1).start()
+            get_dma((tile + 1) % 2, tile + 1).start()
 
-        x_dma(slot, tile).wait()
-        b_dma(slot, tile).wait()
-        x = xtile_vmem[slot]                          # (T, L) input dtype
-        # gate GEMMs on the MXU (weights cast to the input dtype)
-        gv = jnp.tanh(jnp.dot(x, wv_ref[:].astype(w_dt),
+        get_dma(slot, tile).wait()
+        x = xtile_vmem[slot].astype(jnp.float32)
+        gv = jnp.tanh(jnp.dot(x, wv_ref[:].astype(jnp.float32),
                               preferred_element_type=jnp.float32)
                       + bv_ref[:])
-        gu = jax.nn.sigmoid(jnp.dot(x, wu_ref[:].astype(w_dt),
+        gu = jax.nn.sigmoid(jnp.dot(x, wu_ref[:].astype(jnp.float32),
                                     preferred_element_type=jnp.float32)
                             + bu_ref[:])
-        # rank-1 logit reduction on the VPU: (T, D)·(1, D) → sum lanes
-        lg = jnp.sum(gv * gu * ww_row, axis=1, keepdims=True) \
-            + bw_ref[0, 0] + bias_vmem[slot]          # (T, 1)
-
-        # stream raw logits to HBM (wait for the previous tile's copy
-        # before reusing the slot)
-        @pl.when(tile >= 2)
-        def _():
-            o_dma(slot, tile - 2).wait()
-        lg_vmem[slot] = lg
-        o_dma(slot, tile).start()
+        # (1, D) · (T, D)ᵀ → (1, T): logits as a row, no transpose store
+        logits = jax.lax.dot_general(
+            jnp.swapaxes(ww_ref[:], 0, 1), gv * gu,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bw_ref[0, 0]
+        mt = mask_ref[0, :, pl.ds(tile * block_n, block_n)]   # (1, T)
+        lg = jnp.where(mt > 0, logits, NEG_INF)
+        logits_vmem[:, pl.ds(tile * block_n, block_n)] = lg
 
         m_new = jnp.maximum(m_run, jnp.max(lg))
-        e = jnp.exp(lg - m_new)                       # (T, 1); −∞ bias → 0
+        e = jnp.where(mt > 0, jnp.exp(lg - m_new), 0.0)       # (1, T)
         scale = jnp.exp(m_run - m_new)
-        # Σ e_i x_i on the VPU: broadcast over lanes, reduce sublanes
-        contrib = jnp.sum(e * x.astype(jnp.float32), axis=0, keepdims=True)
-        acc = acc * scale + contrib
+        acc = acc * scale + jnp.dot(e, x,
+                                    preferred_element_type=jnp.float32)
         s_new = s_run * scale + jnp.sum(e)
         return m_new, s_new, acc
 
@@ -119,13 +102,12 @@ def _mil_kernel(x_ref, bias_ref, wv_ref, bv_ref, wu_ref, bu_ref, ww_ref,
         (jnp.float32(NEG_INF), jnp.float32(0.0),
          jnp.zeros((1, l_dim), jnp.float32)), unroll=False)
 
-    out_ref[0, :, :] = (acc / jnp.maximum(s_fin, 1e-30)).astype(
-        out_ref.dtype)
-    # drain the last two logits copies
-    @pl.when(n_tiles >= 2)
-    def _():
-        o_dma((n_tiles - 2) % 2, n_tiles - 2).wait()
-    o_dma((n_tiles - 1) % 2, n_tiles - 1).wait()
+    denom = jnp.maximum(s_fin, 1e-30)
+    out_ref[0, :, :] = (acc / denom).astype(out_ref.dtype)
+    lg_all = logits_vmem[:, :]                                 # (1, N)
+    m_all = mask_ref[0, :, :]
+    p = jnp.where(m_all > 0, jnp.exp(lg_all - m_fin) / denom, 0.0)
+    attn_ref[0, :, :] = p.astype(attn_ref.dtype)
 
 
 def _mil_pool_fwd_pallas(x, mask, wv, bv, wu, bu, ww, bw,
@@ -136,15 +118,16 @@ def _mil_pool_fwd_pallas(x, mask, wv, bv, wu, bu, ww, bw,
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, n_pad - n)))
-    bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)[..., None]
+    mask_i = mask.astype(jnp.int32)[:, None, :]            # (B, 1, N)
 
     kernel = functools.partial(_mil_kernel, block_n=block_n, n_total=n_pad)
-    out, logits = pl.pallas_call(
+    out, attn = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),          # x in HBM
-            pl.BlockSpec(memory_space=pl.ANY),          # bias in HBM
+            pl.BlockSpec(memory_space=pl.ANY),              # x stays in HBM
+            pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # mask per bag
             pl.BlockSpec((l, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((l, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -155,31 +138,27 @@ def _mil_pool_fwd_pallas(x, mask, wv, bv, wu, bu, ww, bw,
         out_specs=[
             pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),          # logits in HBM
+            pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, l), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_n, l), x.dtype),       # x double buffer
-            pltpu.VMEM((2, block_n, 1), jnp.float32),   # bias double buffer
-            pltpu.VMEM((2, block_n, 1), jnp.float32),   # logits out buffer
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, n_pad), jnp.float32),            # logits row
+            pltpu.VMEM((2, block_n, l), x.dtype),           # double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_pad * l * 2 * d + 4 * b * n_pad * (l + d),
-            bytes_accessed=b * n_pad * l * x.dtype.itemsize,
-            transcendentals=3 * b * n_pad * d,
+            flops=2 * b * n_pad * l * (2 * d + 1) + 2 * b * n_pad * l,
+            bytes_accessed=2 * b * n_pad * l * x.dtype.itemsize,
+            transcendentals=2 * b * n_pad * d,
         ),
-    )(x, bias, wv, bv.reshape(1, d), wu, bu.reshape(1, d), ww,
+    )(x, mask_i, wv, bv.reshape(1, d), wu, bu.reshape(1, d), ww,
       bw.reshape(1, 1))
-    # attention probabilities: one cheap XLA softmax over the raw logits
-    attn = masked_softmax(logits[:, :n, 0], mask[:, :n], axis=-1)
-    return out[:, 0], attn
+    return out[:, 0], attn[:, 0, :n]
 
 
 def mil_pool_reference(x, mask, wv, bv, wu, bu, ww, bw):
