@@ -20,6 +20,48 @@ import jax
 import jax.numpy as jnp
 
 
+def im2col_conv(x, kernel, bias, strides, padding):
+    """Low-channel 3-D conv as patches + matmul.
+
+    XLA's TPU weight-gradient for 3-D convs with tiny channel counts
+    relayouts the input into a (2,128)-tiled buffer that pads the size-1
+    dims 256× (21 GiB for a (1,160,512,512,1) volume — measured OOM); the
+    im2col formulation compiles to 5.3 GiB and is numerically identical.
+    kernel: (kD, kH, kW, C_in, C_out) NDHWC-style.
+    """
+    kd, kh, kw, cin, cout = kernel.shape
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (kd, kh, kw), strides, padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    # patches features are channel-major: (C_in, kD, kH, kW)
+    w = jnp.transpose(kernel, (3, 0, 1, 2, 4)).reshape(-1, cout)
+    out = patches @ w.astype(patches.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+class LowChannelConv3D(nn.Module):
+    """nn.Conv-compatible module (same param shapes) computing the forward
+    via :func:`im2col_conv` — for 1-3-channel stems on big volumes."""
+    features: int
+    kernel: tuple
+    stride: tuple
+    padding: tuple            # ((lo,hi),)*3
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (*self.kernel, cin, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return im2col_conv(x.astype(self.dtype), k.astype(self.dtype), b,
+                           self.stride, self.padding)
+
+
 class _ConvBN(nn.Module):
     features: int
     kernel: tuple
@@ -112,8 +154,8 @@ class ResnetMC3_18(nn.Module):
         else:
             # kernel (3,4,4), stride (1,2,2), padding 1 → floor((H-2)/2)+1
             k, s, p = (3, 4, 4), (1, 2, 2), ((1, 1), (1, 1), (1, 1))
-        x = nn.Conv(3, k, s, padding=p, use_bias=True, dtype=self.dtype,
-                    name="downsampling")(x)
+        x = LowChannelConv3D(3, k, s, p, use_bias=True, dtype=self.dtype,
+                             name="downsampling")(x)
         return VideoResNetFeatures(
             remat=self.remat, dtype=self.dtype, name="trunk")(x, train)
 

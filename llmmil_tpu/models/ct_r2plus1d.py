@@ -13,7 +13,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .ct_mc3 import _ConvBN
+from .ct_mc3 import _ConvBN, LowChannelConv3D
 
 
 class _Conv2Plus1D(nn.Module):
@@ -64,9 +64,9 @@ class Resnet2plus1D_18(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # reference stem: Conv3d(1→3, (3,2,2), s(1,2,2), p(1,0,0))
-        x = nn.Conv(3, (3, 2, 2), (1, 2, 2),
-                    padding=((1, 1), (0, 0), (0, 0)), dtype=self.dtype,
-                    name="downsampling")(x)
+        x = LowChannelConv3D(3, (3, 2, 2), (1, 2, 2),
+                             ((1, 1), (0, 0), (0, 0)), dtype=self.dtype,
+                             name="downsampling")(x)
         # R2Plus1dStem
         x = nn.relu(_ConvBN(45, (1, 7, 7), (1, 2, 2), (0, 3, 3),
                             dtype=self.dtype, name="stem_s")(x, train))

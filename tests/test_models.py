@@ -129,6 +129,31 @@ def test_twoway_accepts_5d_ct_map():
     assert q.shape == (1, 2, 16) and k.shape == (1, 6, 16)
 
 
+def test_im2col_conv_matches_lax_conv():
+    """LowChannelConv3D's im2col path ≡ lax 3-D conv (the stem formulation
+    that avoids XLA's 21-GiB weight-grad relayout on 1-channel volumes)."""
+    from jax import lax
+    from llmmil_tpu.models.ct_mc3 import im2col_conv
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 6, 12, 12, 1), jnp.float32)
+    k = jnp.asarray(rs.randn(3, 4, 4, 1, 3) * 0.1, jnp.float32)
+    b = jnp.asarray(rs.randn(3) * 0.1, jnp.float32)
+    want = lax.conv_general_dilated(
+        x, k, (1, 2, 2), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    got = im2col_conv(x, k, b, (1, 2, 2), [(1, 1)] * 3)
+    np.testing.assert_allclose(_np(got), _np(want), atol=1e-5)
+
+    # gradients agree too
+    gw_conv = jax.grad(lambda k: (lax.conv_general_dilated(
+        x, k, (1, 2, 2), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))).sum())(k)
+    gw_im2col = jax.grad(lambda k: im2col_conv(
+        x, k, None, (1, 2, 2), [(1, 1)] * 3).sum())(k)
+    np.testing.assert_allclose(_np(gw_im2col), _np(gw_conv), atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # TransMIL
 # ---------------------------------------------------------------------------
