@@ -156,6 +156,9 @@ class Config:
     # on v5e the XLA-fused path currently wins for this op (the kernel's
     # rank-1 pooling matmuls underutilise the MXU); measured in BENCH notes.
     use_pallas: bool = False
+    # CT-trunk rematerialisation: 'all' | 'early' (stages 1-2 only; stages
+    # 3-4 activations are small enough to store) | 'none'
+    ct_remat: str = "all"
     ct_shape: List[int] = field(default_factory=lambda: [160, 512, 512])
     save_dir: str = "results"
     log_every: int = 10

@@ -107,8 +107,9 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     except Exception:
         pass                                  # no excel writer installed
 
-    # warm-up-excluded mean inference time (test_ddp.py:214-234)
-    t_mean = float(np.mean(times[1:])) if len(times) > 1 else \
+    # warm-up-excluded inference time (test_ddp.py:214-234); median rather
+    # than mean so per-bucket compile outliers don't skew it
+    t_mean = float(np.median(times[1:])) if len(times) > 1 else \
         float(times[0])
     return {"auc": auc, "acc": acc, "precision": float(prec),
             "recall": float(rec), "threshold": thres,

@@ -49,7 +49,8 @@ def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
     """CT-extractor factory (aggregator.py:17-34 dispatch)."""
     kw = {} if name is None else {"name": name}
     if cfg.model_CT in ("resnetMC3_18", "resnetMC3_18_wMask"):
-        return ResnetMC3_18(spacing_xy=cfg.spacing[0], dtype=dtype, **kw)
+        return ResnetMC3_18(spacing_xy=cfg.spacing[0], remat=cfg.ct_remat,
+                            dtype=dtype, **kw)
     if cfg.model_CT == "medicalNet":
         return MedicalNetFeatures(dtype=dtype, **kw)
     if cfg.model_CT == "resnet2plus1d_18":

@@ -77,7 +77,7 @@ class _ConvBN(nn.Module):
                     use_bias=self.use_bias, dtype=self.dtype,
                     name="conv")(x)
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+                            epsilon=1e-5, dtype=self.dtype, name="bn")(x)
 
 
 class BasicBlock3D(nn.Module):
@@ -116,7 +116,7 @@ class VideoResNetFeatures(nn.Module):
     layers: Sequence[int] = (2, 2, 2, 2)
     channels: Sequence[int] = (64, 128, 256, 512)
     temporal_layers: Sequence[bool] = (True, False, False, False)
-    remat: bool = True
+    remat: str | bool = True     # True/'all' | 'early' (stages 1-2) | False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -124,11 +124,12 @@ class VideoResNetFeatures(nn.Module):
         # BasicStem: Conv(3→64, (3,7,7), s(1,2,2), p(1,3,3)) + BN + ReLU
         x = nn.relu(_ConvBN(64, (3, 7, 7), (1, 2, 2), (1, 3, 3),
                             dtype=self.dtype, name="stem")(x, train))
-        block = BasicBlock3D
-        if self.remat:
-            block = nn.remat(BasicBlock3D, static_argnums=(2,))
+        remat_block = nn.remat(BasicBlock3D, static_argnums=(2,))
         for i, (n_blocks, feats, temporal) in enumerate(
                 zip(self.layers, self.channels, self.temporal_layers)):
+            use_remat = (self.remat in (True, "all")
+                         or (self.remat == "early" and i < 2))
+            block = remat_block if use_remat else BasicBlock3D
             for b in range(n_blocks):
                 stride = 2 if (i > 0 and b == 0) else 1
                 x = block(feats, stride, temporal, self.dtype,
@@ -144,7 +145,7 @@ class ResnetMC3_18(nn.Module):
     Output: (B, D, H', W', 512) NDHWC feature map.
     """
     spacing_xy: float = 0.6869
-    remat: bool = True
+    remat: str | bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

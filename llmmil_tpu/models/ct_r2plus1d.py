@@ -44,11 +44,11 @@ class _R2Plus1DBlock(nn.Module):
         y = _Conv2Plus1D(self.features, self.stride, self.dtype,
                          name="conv1")(x, train)
         y = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=jnp.float32,
+                                 epsilon=1e-5, dtype=self.dtype,
                                  name="bn1")(y))
         y = _Conv2Plus1D(self.features, 1, self.dtype, name="conv2")(y, train)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn2")(y)
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         if x.shape[-1] != self.features or self.stride != 1:
             x = _ConvBN(self.features, (1, 1, 1), (self.stride,) * 3,
                         (0, 0, 0), dtype=self.dtype,

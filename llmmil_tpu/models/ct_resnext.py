@@ -36,7 +36,7 @@ class _ResNeXtBottleneck3D(nn.Module):
                     name="conv2")(y)
         y = nn.relu(nn.BatchNorm(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
-                                 dtype=jnp.float32, name="bn2")(y))
+                                 dtype=self.dtype, name="bn2")(y))
         y = _ConvBN(self.out, (1, 1, 1), (1, 1, 1), (0, 0, 0),
                     dtype=self.dtype, name="conv3")(y, train)
         if x.shape[-1] != self.out or self.stride != 1:

@@ -23,7 +23,7 @@ class _BasicBlock2D(nn.Module):
                         padding=((1, 1), (1, 1)), use_bias=False,
                         dtype=self.dtype, name=f"{name}_conv")(y)
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=jnp.float32,
+                                epsilon=1e-5, dtype=self.dtype,
                                 name=f"{name}_bn")(y)
 
         y = nn.relu(conv_bn(x, self.stride, "c1"))
@@ -33,7 +33,7 @@ class _BasicBlock2D(nn.Module):
                         (self.stride, self.stride), use_bias=False,
                         dtype=self.dtype, name="down_conv")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
+                             epsilon=1e-5, dtype=self.dtype,
                              name="down_bn")(x)
         return nn.relu(x + y)
 
@@ -50,7 +50,7 @@ class Resnet18_2D(nn.Module):
                     use_bias=False, dtype=self.dtype, name="stem")(x)
         x = nn.relu(nn.BatchNorm(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
-                                 dtype=jnp.float32, name="stem_bn")(x))
+                                 dtype=self.dtype, name="stem_bn")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         for i, feats in enumerate((64, 128, 256, 512)):
             for b in range(2):

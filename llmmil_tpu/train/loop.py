@@ -102,8 +102,12 @@ def run_epoch(step_fn, state, loader, mesh, rng, epoch: int, cfg: Config,
 
 def fit(cfg: Config, train_loader, valid_loader,
         save_dir: Optional[str] = None, use_mesh: bool = True,
-        n_epochs: Optional[int] = None) -> Dict:
-    """Full training run; returns summary dict with best valid AUC."""
+        n_epochs: Optional[int] = None, profile_dir: Optional[str] = None
+        ) -> Dict:
+    """Full training run; returns summary dict with best valid AUC.
+
+    ``profile_dir`` enables a jax.profiler trace of the first training epoch
+    (the reference's only tracing is wall-clock meters, SURVEY §5)."""
     save_dir = save_dir or make_save_dir(cfg)
     dump_config(cfg, save_dir)
     writer = MetricWriter(save_dir)
@@ -144,8 +148,15 @@ def fit(cfg: Config, train_loader, valid_loader,
     for epoch in range(start_epoch, n_epochs or cfg.n_epochs):
         train_loader.set_epoch(epoch)
         print(save_dir)
-        state, tm = run_epoch(train_step, state, train_loader, mesh, rng,
-                              epoch, cfg, train=True, writer=writer)
+        if profile_dir and epoch == start_epoch:
+            with jax.profiler.trace(profile_dir):
+                state, tm = run_epoch(train_step, state, train_loader,
+                                      mesh, rng, epoch, cfg, train=True,
+                                      writer=writer)
+        else:
+            state, tm = run_epoch(train_step, state, train_loader, mesh,
+                                  rng, epoch, cfg, train=True,
+                                  writer=writer)
         _, vm = run_epoch(eval_step, state, valid_loader, mesh, rng,
                           epoch, cfg, train=False, writer=writer)
         is_best = vm["auc"] >= best_auc
