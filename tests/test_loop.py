@@ -49,6 +49,24 @@ def test_fit_synthetic_two_epochs(tmp_path):
     assert c["epoch"] == 2
 
 
+def test_fit_with_8_device_mesh(tmp_path):
+    """fit(use_mesh=True) on the virtual 8-device mesh: batch sharded,
+    params replicated, metrics finite."""
+    import jax
+    from llmmil_tpu.train.loop import fit
+
+    assert jax.device_count() >= 8
+    cfg = _cfg(tmp_path, batch_size=8, n_epochs=1, mesh_shape=[8])
+    syn = SyntheticCohort(cfg, n_per_hospital=12, seed=9)
+    tl = BatchLoader(syn.dataset(cfg, "train"), 8, shuffle=True,
+                     drop_last=True, prefetch=0)
+    vl = BatchLoader(syn.dataset(cfg, "valid"), 8, drop_last=True,
+                     prefetch=0)
+    summary = fit(cfg, tl, vl, use_mesh=True)
+    assert np.isfinite(summary["train"]["loss"])
+    assert 0.0 <= summary["best_auc"] <= 1.0
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = _cfg(tmp_path)
     syn = SyntheticCohort(cfg, n_per_hospital=4, seed=4)
