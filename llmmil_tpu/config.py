@@ -157,8 +157,9 @@ class Config:
     # rank-1 pooling matmuls underutilise the MXU); measured in BENCH notes.
     use_pallas: bool = False
     # CT-trunk rematerialisation: 'all' | 'early' (stages 1-2 only; stages
-    # 3-4 activations are small enough to store) | 'none'
-    ct_remat: str = "all"
+    # 3-4 activations are small enough to store) | 'none'.  Measured at full
+    # size on v5e: 'early' 10.6 GiB / 1294 ms vs 'all' 12.9 GiB / 1312 ms.
+    ct_remat: str = "early"
     ct_shape: List[int] = field(default_factory=lambda: [160, 512, 512])
     save_dir: str = "results"
     log_every: int = 10

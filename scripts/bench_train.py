@@ -45,7 +45,7 @@ def main(argv=None):
                  aggregator="TransMIL", loss_point="CT-Pth-Last",
                  loss="BCE+textCosSim", spacing=[0.6869, 0.6869, 3.0],
                  ct_shape=[ns.depth, ns.hw, ns.hw], ct_hw_override=ns.hw,
-                 compute_dtype="bfloat16", learnablePrompt=1, n_ctx=8,
+                 compute_dtype="bfloat16", learnablePrompt=1, n_ctx=8, ct_remat="early",
                  batch_size=ns.batch)
     model = build_model(cfg)
     rs = np.random.RandomState(0)

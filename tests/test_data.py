@@ -117,6 +117,28 @@ def test_tokenizer_roundtrip_and_shape():
         tokenize(["word " * 100], context_length=16, tokenizer=tok)
 
 
+def test_tokenizer_with_merge_vocab(tmp_path):
+    """Merge-rank BPE path with a synthetic vocab gz (the real CLIP vocab is
+    an external asset; this exercises the same merge loop)."""
+    import gzip
+    p = str(tmp_path / "bpe.txt.gz")
+    with gzip.open(p, "wt") as f:
+        f.write("#version\nt h\nth e</w>\nc a\nca t</w>\n")
+    tok = ClipTokenizer(bpe_path=p)
+    # 'the' fully merges: t+h -> th, th+e</w> -> the</w>
+    ids = tok.encode("the")
+    assert len(ids) == 1
+    assert tok.decoder[ids[0]] == "the</w>"
+    # 'cat' merges to ca + t</w> (no 'cat</w>' merge rule fires because the
+    # 'ca'+'t</w>' pair needs 'ca t</w>' — present → single token)
+    ids2 = tok.encode("cat")
+    assert tok.decode(ids2).strip() == "cat"
+    # unmergeable word falls back to byte tokens + </w>
+    ids3 = tok.encode("xy")
+    assert len(ids3) == 2
+    assert tok.decode(ids3).strip() == "xy"
+
+
 def test_bag_ops():
     rs = np.random.RandomState(0)
     feat = rs.randn(100, 8).astype(np.float32)

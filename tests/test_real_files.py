@@ -1,0 +1,95 @@
+"""End-to-end real-file data path: CSV cohort + .nii.gz CT + .npy bags +
+metadata JSON on disk → build_cohort → MultimodalDataset → BatchLoader."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from llmmil_tpu.config import Config
+from llmmil_tpu.data import BatchLoader, MultimodalDataset
+from llmmil_tpu.data.ct_io import write_nifti
+
+
+HOSP = ["AJMC", "CNUH", "PNUH", "EUMC"]
+
+
+def _materialize(root, n_per_hosp=3, seed=0):
+    rs = np.random.RandomState(seed)
+    rows = []
+    spacing = "X(2.0)Y(2.0)Z(2.5)"
+    pid = 0
+    for hosp in HOSP:
+        for _ in range(n_per_hosp):
+            patient = f"R{pid:04d}"
+            pid += 1
+            kind = "Biopsy" if rs.rand() < 0.5 else "Resection"
+            dead = int(rs.rand() < 0.5)
+            rows.append({
+                "patientid": patient, "hospital": hosp,
+                "pathologyimage": kind, "CT_before1": "(1, x, 1)",
+                "CT ID mismatch": 0,
+                "sex": "M" if rs.rand() < 0.5 else "F",
+                "sm": "N" if rs.rand() < 0.5 else "Y",
+                "birth date": "1955-03-01",
+                "locationcancer": int(rs.randint(1, 6)),
+                "cancerimaging": int(rs.randint(1, 5)),
+                "cancerimagingT": int(rs.randint(1, 5)),
+                "cancerimagingN": int(rs.randint(0, 4)),
+                "cancerimagingM": int(rs.randint(0, 2)),
+                "classification cancer": int(rs.randint(1, 3)),
+                "treatedate": "2010-01-01",
+                "lastdate": "2016-06-01" if not dead else "2012-01-01",
+                "dead": dead, "deathsign": 1, "relapse": 0,
+            })
+            ct_dir = os.path.join(root, "CT", spacing, hosp)
+            os.makedirs(ct_dir, exist_ok=True)
+            vol = (rs.rand(12, 40, 40) * 2000 - 1000).astype(np.float32)
+            write_nifti(os.path.join(ct_dir, patient + ".nii.gz"), vol)
+            with open(os.path.join(ct_dir, patient + ".json"), "w") as f:
+                json.dump({"RescaleSlope": 1.0, "RescaleIntercept": 0.0,
+                           "PhotometricInterpretation": "MONOCHROME2",
+                           "BitsStored": 12}, f)
+            bag_dir = os.path.join(root, "Pathology", hosp, kind)
+            os.makedirs(bag_dir, exist_ok=True)
+            np.save(os.path.join(bag_dir, patient + ".npy"),
+                    rs.randn(int(rs.randint(30, 90)), 768
+                             ).astype(np.float32))
+    excel_dir = os.path.join(root, "Clinical_excel")
+    os.makedirs(excel_dir, exist_ok=True)
+    pd.DataFrame(rows).to_csv(
+        os.path.join(excel_dir, "Lung_Overall2.csv"), index=False)
+
+
+def test_real_file_pipeline(tmp_path):
+    root = str(tmp_path)
+    _materialize(root)
+    cfg = Config(modality=["CT", "pathology"], model_CI="simpleFCs_v1",
+                 CI_input_version="v1", batch_size=2, augmentation=1,
+                 spacing=[2.0, 2.0, 2.5], ct_shape=[12, 40, 40],
+                 ct_hw_override=40, bag_buckets=[128],
+                 hospital_test=["EUMC", "HUMC", "SCHMC"],
+                 path_data_CT=os.path.join(root, "CT"),
+                 path_data_pathology=os.path.join(root, "Pathology"),
+                 path_data_excel=os.path.join(root, "Clinical_excel"),
+                 learnablePrompt=0)
+    ds = MultimodalDataset(cfg, "train")
+    assert len(ds) > 0
+    s = ds[0]
+    assert s["input_CT"].shape == (12, 40, 40, 1)
+    assert 0.0 <= float(s["input_CT"].min()) \
+        and float(s["input_CT"].max()) <= 1.0
+    assert s["input_pathology"].shape[1] == 768
+    assert s["input_CI"].shape == (9,)
+
+    loader = BatchLoader(ds, 2, shuffle=True, drop_last=True)
+    batch = next(iter(loader))
+    assert batch["input_CT"].shape == (2, 12, 40, 40, 1)
+    assert batch["input_pathology"].shape == (2, 128, 768)
+    assert batch["mask_pathology"].sum() > 0
+
+    # test split reads the held-out hospital only
+    ds_test = MultimodalDataset(cfg, "test")
+    assert set(ds_test.df["hospital"]) <= {"EUMC", "HUMC", "SCHMC"}
