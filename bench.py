@@ -168,12 +168,14 @@ def torch_cpu_bags_per_sec(max_seconds: float = 20.0) -> float:
                       dtype=torch.float32)
     with torch.no_grad():
         model(bag, ci, pe)                      # warm-up
-        n, t0 = 0, time.perf_counter()
-        while time.perf_counter() - t0 < max_seconds and n < 16:
+        times = []
+        for _ in range(4):                      # fixed count: stable median
+            t0 = time.perf_counter()
             model(bag, ci, pe)
-            n += 1
-        dt = time.perf_counter() - t0
-    return n / dt
+            times.append(time.perf_counter() - t0)
+            if sum(times) > max_seconds:
+                break
+    return 1.0 / float(np.median(times))
 
 
 def main():
