@@ -89,10 +89,13 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     labels = np.asarray(labels)
     out_dir = out_dir or "."
     os.makedirs(out_dir, exist_ok=True)
+    # config provenance in the Predictions dir (test_ddp.py:137-139)
+    from ..utils.run_dir import dump_config
+    dump_config(cfg, out_dir)
     auc, youden = roc_curve_plot(labels, probs1,
                                  os.path.join(out_dir, "ROC.png"))
     thres = youden if mode == "valid" else cfg.best_thres
-    preds = (probs1 > thres).astype(int)
+    preds = (probs1 >= thres).astype(int)       # >= like test_ddp.py:148
     acc = float((preds == labels).mean())
     prec, rec = precision_recall(labels, preds, "binary")
 

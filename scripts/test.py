@@ -49,6 +49,10 @@ def main(argv=None):
         ckpt = cfg.test_pth        # run dir or checkpoint file (resolved)
         out_dir = (ckpt if os.path.isdir(ckpt) else os.path.dirname(ckpt)
                    ).replace("SavedModels", "Predictions")
+        # record the tested stage subset in the path (test_ddp.py:130-131)
+        out_dir = out_dir.replace(
+            f"tr({cfg.cancerstageTrain})",
+            f"tr({cfg.cancerstageTrain})te({cfg.cancerstageTest})")
     else:
         out_dir = os.path.join(cfg.save_dir, "Predictions", "untrained")
 
