@@ -72,10 +72,25 @@ class _ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, self.kernel, self.stride,
-                    padding=tuple((p, p) for p in self.padding),
-                    use_bias=self.use_bias, dtype=self.dtype,
-                    name="conv")(x)
+        if (len(self.kernel) == 3 and self.kernel[0] == 1
+                and self.stride[0] == 1 and self.padding[0] == 0):
+            # depth-independent (1, kH, kW) conv: fold D into batch and run
+            # a 2-D conv — numerically identical, and XLA's 2-D conv paths
+            # (fwd and grads) are far better tuned on TPU than 3-D ones.
+            # (the kernel param becomes 4-D; the torch importer squeezes
+            # the kD=1 axis to match)
+            b, d, h, w, c = x.shape
+            y = x.reshape(b * d, h, w, c)
+            y = nn.Conv(self.features, self.kernel[1:], self.stride[1:],
+                        padding=tuple((p, p) for p in self.padding[1:]),
+                        use_bias=self.use_bias, dtype=self.dtype,
+                        name="conv")(y)
+            x = y.reshape(b, d, *y.shape[1:])
+        else:
+            x = nn.Conv(self.features, self.kernel, self.stride,
+                        padding=tuple((p, p) for p in self.padding),
+                        use_bias=self.use_bias, dtype=self.dtype,
+                        name="conv")(x)
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=self.dtype, name="bn")(x)
 

@@ -27,7 +27,12 @@ def _np(v):
 
 
 def _conv3d(w):
-    return np.transpose(_np(w), (2, 3, 4, 1, 0))
+    k = np.transpose(_np(w), (2, 3, 4, 1, 0))
+    if k.shape[0] == 1:
+        # depth-independent (1,kH,kW) convs run as folded 2-D convs in this
+        # framework (ct_mc3._ConvBN) → 4-D kernels
+        return k[0]
+    return k
 
 
 def _bn(sd, pre):

@@ -93,6 +93,25 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_fit_resume_from_checkpoint(tmp_path):
+    """--resume semantics (train_ddp.py:120-143): continue from
+    checkpoint_last with epoch offset and identical params."""
+    from llmmil_tpu.train.loop import fit
+
+    cfg = _cfg(tmp_path, n_epochs=2)
+    syn = SyntheticCohort(cfg, n_per_hospital=6, seed=13)
+    tl = BatchLoader(syn.dataset(cfg, "train"), 4, shuffle=True,
+                     drop_last=True, prefetch=0)
+    vl = BatchLoader(syn.dataset(cfg, "valid"), 4, prefetch=0)
+    s1 = fit(cfg, tl, vl, use_mesh=False)
+    ckpt = os.path.join(s1["save_dir"], "checkpoint_last.msgpack")
+
+    cfg2 = cfg.replace(resume=ckpt, n_epochs=3)
+    s2 = fit(cfg2, tl, vl, use_mesh=False)
+    # resumed run starts at epoch 2 and runs exactly epoch 2
+    assert s2["epoch"] == 2
+
+
 def test_restore_branch_intersection(tmp_path):
     """Partial restore copies only matching keys (train_ddp.py:154-166)."""
     cfg = _cfg(tmp_path, modality=["CI"], aggregator="-")
