@@ -174,6 +174,24 @@ def test_hu_normalize():
     np.testing.assert_allclose(out2[0, 0], (-800 + 1024) / 2024)
 
 
+def test_tumor_crop_box():
+    """Faithful to the reference's formula (dataset.py:346-348), which uses
+    (max−min)/2 — the half-RANGE, not the centroid (a reference quirk):
+    a mask spanning [10,20) gives 'center' (19−10)//2 = 4 per axis."""
+    from llmmil_tpu.data.ct_io import tumor_crop_box
+    img = np.ones((40, 40, 40), np.float32)
+    mask = np.zeros_like(img)
+    mask[10:20, 12:22, 14:24] = 1
+    out = tumor_crop_box(img, mask, half=5)
+    # box = [max(0,4-5) : 4+5] = [0:9) per axis → 9³ ones
+    assert out.sum() == 9 ** 3
+    assert out[0, 0, 0] == 1 and out[20, 20, 20] == 0
+    # empty mask → box around the volume centre (dataset.py:344-346)
+    out2 = tumor_crop_box(img, np.zeros_like(img), half=5)
+    assert out2.sum() == 10 ** 3
+    assert out2[20, 20, 20] == 1
+
+
 def test_crop_or_pad():
     img = np.zeros((100, 300, 300), np.float32)
     out = crop_or_pad_volume(img, 160, 224)

@@ -69,6 +69,24 @@ def test_multihead_loss_sums_three_heads():
     np.testing.assert_allclose(float(terms["loss_CosSim"]), 0.0, atol=1e-6)
 
 
+def test_clip_contrastive_matches_torch():
+    """CLIPloss_v1 equivalent (utils.py:247-284): CE between scaled cosine
+    logits and identity labels — cross-checked against torch."""
+    import torch
+    from llmmil_tpu.train import clip_contrastive_loss
+
+    rs = np.random.RandomState(4)
+    f = rs.randn(6, 16).astype(np.float32)
+    t = rs.randn(6, 16).astype(np.float32)
+    scale = 100.0
+    ft = torch.tensor(f) / torch.tensor(f).norm(dim=-1, keepdim=True)
+    tt = torch.tensor(t) / torch.tensor(t).norm(dim=-1, keepdim=True)
+    logits = scale * ft @ tt.T
+    want = torch.nn.CrossEntropyLoss()(logits, torch.arange(6)).item()
+    got = float(clip_contrastive_loss(jnp.array(f), jnp.array(t), scale))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # metrics vs sklearn
 # ---------------------------------------------------------------------------
