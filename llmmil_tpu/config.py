@@ -139,6 +139,9 @@ class Config:
     # ---- CLIP text tower size (ViT-B/32 text defaults; shrinkable for
     # tests / dry runs) ----
     clip_vocab: int = 49408
+    # path to CLIP's bpe_simple_vocab_16e6.txt.gz (external asset, same one
+    # the reference downloads); empty → byte-level fallback tokenizer
+    bpe_vocab_path: str = ""
     clip_context: int = 77
     clip_width: int = 512
     clip_heads: int = 8

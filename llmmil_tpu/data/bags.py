@@ -20,11 +20,15 @@ DEFAULT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384)
 def instance_dropout(feat: np.ndarray, kind: str,
                      rng: np.random.RandomState) -> np.ndarray:
     """Keep a sorted random 90% (Biopsy) / 80% (Resection) of instances
-    (dataset.py:374-381)."""
+    (dataset.py:374-381).  Uses the native C++ row gather when built."""
     n = feat.shape[0]
     keep_frac = 0.9 if kind == "Biopsy" else 0.8
     keep = int(n * keep_frac)
     idx = np.sort(rng.choice(n, size=keep, replace=False))
+    from . import native
+    gathered = native.gather_rows(feat, idx)
+    if gathered is not None:
+        return gathered
     return feat[idx]
 
 

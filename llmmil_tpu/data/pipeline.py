@@ -43,7 +43,11 @@ class MultimodalDataset:
         self.df = self.df.reset_index(drop=True)
         self.feature_store = feature_store   # {(hospital, kind, pid): array}
         self.ct_store = feature_store or {}
-        self.rng = np.random.RandomState(cfg.seed + hash(mode) % 10000)
+        self._tokenizer = None
+        # fixed per-mode offsets: python's salted hash() would make
+        # augmentation streams differ between identically-seeded runs
+        mode_off = {"train": 0, "valid": 1, "test": 2}.get(mode, 3)
+        self.rng = np.random.RandomState(cfg.seed + mode_off)
 
     def __len__(self) -> int:
         return len(self.df)
@@ -128,8 +132,15 @@ class MultimodalDataset:
         prompts = clinical_prompts(
             dict(row), cfg.CI_prompt_version,
             learnable_prompt=bool(cfg.learnablePrompt), n_ctx=cfg.n_ctx)
+        if self._tokenizer is None:
+            from .tokenizer import ClipTokenizer
+            self._tokenizer = ClipTokenizer(cfg.bpe_vocab_path or None)
+        # byte-level fallback emits ~1 token/char, so the 'single' clinical
+        # sentence overflows 77 — truncate (real BPE vocab fits untruncated)
         return tokenize(prompts,
-                        context_length=cfg.clip_context - cfg.prompt_len)
+                        context_length=cfg.clip_context - cfg.prompt_len,
+                        tokenizer=self._tokenizer,
+                        truncate=not self._tokenizer.bpe_ranks)
 
     def _label(self, row) -> np.ndarray:
         cfg = self.cfg
@@ -280,6 +291,12 @@ class BatchLoader:
             chunk = idx[start:start + self.batch_size]
             yield self._collate([self.ds[int(i)] for i in chunk])
 
+    def first_batch(self) -> Dict:
+        """One batch without spinning up the prefetch worker — for model
+        init (an abandoned prefetching iterator would leave its thread
+        blocked on a full queue holding collated batches)."""
+        return next(self._produce())
+
     def __iter__(self) -> Iterator[Dict]:
         if self.prefetch <= 0:
             yield from self._produce()
@@ -287,23 +304,45 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
         err: List[BaseException] = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for b in self._produce():
-                    q.put(b)
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:          # surface worker errors
                 err.append(e)
             finally:
-                q.put(_END)
+                # the END sentinel must not be dropped on a full queue or
+                # the consumer blocks forever — retry until delivered or
+                # the consumer has gone away
+                while not stop.is_set():
+                    try:
+                        q.put(_END, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+            return
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+        finally:
+            # consumer abandoned (GeneratorExit) or finished: release the
+            # worker so it doesn't sit blocked holding collated batches
+            stop.set()
+            t.join(timeout=5)
         if err:
             raise err[0]

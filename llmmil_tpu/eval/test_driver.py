@@ -57,7 +57,8 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     mode = mode or cfg.mode
     model = build_model(cfg)
     if state is None:
-        first = next(iter(loader))
+        first = (loader.first_batch() if hasattr(loader, "first_batch")
+                 else next(iter(loader)))
         init_batch = {k: v for k, v in first.items() if k != "ID"}
         state = create_train_state(model, cfg, init_batch,
                                    jax.random.PRNGKey(0))
@@ -76,10 +77,13 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     ids, probs1, labels, times = [], [], [], []
     for batch in loader:
         db = {k: v for k, v in batch.items() if k != "ID"}
+        n_in_batch = batch["label"].shape[0]
         t0 = time.perf_counter()
         p = np.asarray(jax.block_until_ready(
             forward(state.params, state.batch_stats, db)))
-        times.append(time.perf_counter() - t0)
+        # per-PATIENT time (the reference's metric runs batch 1,
+        # test_ddp.py:73) — normalise by the batch size
+        times.append((time.perf_counter() - t0) / n_in_batch)
         ids.extend(batch["ID"])
         probs1.extend(p[:, 1].tolist() if p.shape[-1] > 1
                       else p[:, 0].tolist())

@@ -179,18 +179,20 @@ class Aggregator(nn.Module):
                 if "SwinUNETR" in c.model_CT:
                     center = None
                     if "wMask" in c.model_CT and "mask_CT" in batch:
-                        # SwinUNETR_wMask: crops constrained around the
-                        # tumour-mask centroid (swinUNETR_wMask.py:48-77)
-                        m = batch["mask_CT"][..., 0]
-                        tot = jnp.maximum(m.sum(), 1.0)
+                        # SwinUNETR_wMask: crops constrained around each
+                        # sample's tumour-mask centroid
+                        # (swinUNETR_wMask.py:48-77)
+                        m = batch["mask_CT"][..., 0]       # (B, D, H, W)
+                        tot = jnp.maximum(
+                            m.sum(axis=(1, 2, 3)), 1.0)    # (B,)
                         center = jnp.stack([
-                            (m.sum(axis=(0, 2, 3))
-                             * jnp.arange(m.shape[1])).sum() / tot,
-                            (m.sum(axis=(0, 1, 3))
-                             * jnp.arange(m.shape[2])).sum() / tot,
-                            (m.sum(axis=(0, 1, 2))
-                             * jnp.arange(m.shape[3])).sum() / tot,
-                        ]).astype(jnp.int32)
+                            (m.sum(axis=(2, 3))
+                             * jnp.arange(m.shape[1])).sum(1) / tot,
+                            (m.sum(axis=(1, 3))
+                             * jnp.arange(m.shape[2])).sum(1) / tot,
+                            (m.sum(axis=(1, 2))
+                             * jnp.arange(m.shape[3])).sum(1) / tot,
+                        ], axis=-1).astype(jnp.int32)      # (B, 3)
                     feat = self._ct_extractor()(ct_in, center=center,
                                                 train=train)
                 else:

@@ -155,8 +155,12 @@ class CoOpClinicalEncoder(nn.Module):
                          (self.n_prompts, self.n_ctx, self.cfg.width))
         emb = jax.lax.stop_gradient(clip_enc.embed(flat))   # (BP, T, W)
         emb = emb.reshape(b, p, t, -1)
-        ctx_b = jnp.broadcast_to(ctx[None], (b, p, self.n_ctx,
-                                             self.cfg.width)).astype(emb.dtype)
+        # the ctx table has one row per 'devided' prompt; the 'single'
+        # version renders fewer prompts — use the first P rows (the
+        # reference's torch.cat would shape-error here, CLIP.py:44-51)
+        ctx_b = jnp.broadcast_to(ctx[:p][None],
+                                 (b, p, self.n_ctx,
+                                  self.cfg.width)).astype(emb.dtype)
         spliced = jnp.concatenate(
             [emb[:, :, :1], ctx_b, emb[:, :, 1 + self.n_ctx:]], axis=2)
         eot = jnp.argmax(tokens, axis=-1).reshape(b * p)

@@ -96,18 +96,20 @@ class SwinViT3D(nn.Module):
         return x.mean(axis=(1, 2, 3))        # (B, 768)
 
 
-def _random_crop_starts(rng, n_crops, vol_shape, crop, center=None,
+def _random_crop_starts(rng, batch, n_crops, vol_shape, crop, center=None,
                         jitter: int = 8):
-    """(n_crops, 3) int32 crop origins; constrained near ``center`` when
-    given (wMask variant)."""
+    """(B, n_crops, 3) int32 crop origins, independent per sample;
+    constrained near per-sample ``center`` (B, 3) when given (wMask)."""
     maxs = jnp.array([max(s - c, 1) for s, c in zip(vol_shape, crop)])
+    u = jax.random.uniform(rng, (batch, n_crops, 3))
     if center is None:
-        u = jax.random.uniform(rng, (n_crops, 3))
         return (u * maxs).astype(jnp.int32)
-    lo = jnp.maximum(center - jnp.array(crop) // 2 - jitter, 0)
+    center = jnp.asarray(center)
+    if center.ndim == 1:
+        center = jnp.broadcast_to(center, (batch, 3))
+    lo = jnp.maximum(center - jnp.array(crop) // 2 - jitter, 0)  # (B, 3)
     hi = jnp.minimum(lo + 2 * jitter, maxs)
-    u = jax.random.uniform(rng, (n_crops, 3))
-    return (lo + u * (hi - lo)).astype(jnp.int32)
+    return (lo[:, None] + u * (hi - lo)[:, None]).astype(jnp.int32)
 
 
 class SwinUNETRMIL(nn.Module):
@@ -124,22 +126,23 @@ class SwinUNETRMIL(nn.Module):
         vol_shape = x.shape[1:4]
         if rng is None:
             rng = self.make_rng("crops") if train else jax.random.PRNGKey(0)
-        starts = _random_crop_starts(rng, self.n_subsample, vol_shape,
-                                     self.crop, center)
+        starts = _random_crop_starts(rng, b, self.n_subsample, vol_shape,
+                                     self.crop, center)      # (B, n, 3)
 
-        def get_crop(start):                   # pure slicing → vmap-safe
+        def crop_one(xb, start):               # pure slicing → vmap-safe
             return jax.lax.dynamic_slice(
-                x, (0, start[0], start[1], start[2], 0),
-                (b, *self.crop, x.shape[-1]))
+                xb, (start[0], start[1], start[2], 0),
+                (*self.crop, xb.shape[-1]))
 
-        crops = jax.vmap(get_crop)(starts)              # (n, B, ...)
-        crops = crops.reshape(self.n_subsample * b, *self.crop,
+        # per-sample crops at per-sample coordinates
+        crops = jax.vmap(lambda xb, st: jax.vmap(
+            lambda s: crop_one(xb, s))(st))(x, starts)       # (B, n, ...)
+        crops = crops.reshape(b * self.n_subsample, *self.crop,
                               x.shape[-1])
         # one batched encoder pass over all crops (vs the reference's
         # python loop, swinUNETR.py:50-57) — a single big MXU workload
         feats = SwinViT3D(dtype=self.dtype, name="swinvit")(crops)
-        feats = feats.reshape(self.n_subsample, b, -1)
-        feats = jnp.swapaxes(feats, 0, 1)               # (B, n, 768)
+        feats = feats.reshape(b, self.n_subsample, -1)  # (B, n, 768)
 
         # in-module gated-attention MIL over crops (swinUNETR.py:33-44)
         a_v = jnp.tanh(nn.Dense(self.att_dim, dtype=self.dtype,

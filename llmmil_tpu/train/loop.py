@@ -49,8 +49,9 @@ def _epoch_metrics(all_probs, all_labels, num_classes: int) -> Dict:
         out["auc_argmax"] = roc_auc(y, preds)        # reference behavior
         prec, rec = precision_recall(y, preds, "binary")
     else:
+        from .metrics import roc_auc_ovo_macro
         prec, rec = precision_recall(y, preds, "macro")
-        out["auc"] = float("nan")
+        out["auc"] = roc_auc_ovo_macro(y, probs)     # train_ddp.py:365-368
     out["precision"], out["recall"] = float(prec), float(rec)
     return out
 
@@ -113,7 +114,9 @@ def fit(cfg: Config, train_loader, valid_loader,
     writer = MetricWriter(save_dir)
 
     model = build_model(cfg)
-    first = next(iter(train_loader))
+    first = (train_loader.first_batch() if hasattr(train_loader,
+                                                   "first_batch")
+             else next(iter(train_loader)))
     init_batch = {k: v for k, v in first.items() if k != "ID"}
     rng = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(model, cfg, init_batch, rng,

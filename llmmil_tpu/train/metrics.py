@@ -36,6 +36,25 @@ def roc_auc(labels, scores) -> float:
     return float(np.trapezoid(tpr, fpr))
 
 
+def roc_auc_ovo_macro(labels, probs) -> float:
+    """Multi-class one-vs-one macro AUC (the reference's >2-class metric,
+    train_ddp.py:365-368): average the binary AUC of every ordered class
+    pair restricted to samples of those two classes."""
+    labels = np.asarray(labels)
+    probs = np.asarray(probs)
+    classes = np.unique(labels)
+    aucs = []
+    for i, a in enumerate(classes):
+        for b in classes[i + 1:]:
+            sel = np.isin(labels, (a, b))
+            if labels[sel].min() == labels[sel].max():
+                continue
+            y = (labels[sel] == b).astype(int)
+            aucs.append(roc_auc(y, probs[sel, b]))
+            aucs.append(roc_auc(1 - y, probs[sel, a]))
+    return float(np.mean(aucs)) if aucs else float("nan")
+
+
 def youden_threshold(labels, scores) -> float:
     """Best decision threshold = argmax(tpr − fpr) (test_ddp.py:292-309)."""
     fpr, tpr, thr = roc_curve(labels, scores)

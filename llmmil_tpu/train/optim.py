@@ -21,8 +21,10 @@ from ..config import Config
 
 
 def effective_lr(cfg: Config) -> float:
-    """Runtime lr override rules (train_ddp.py:104-114)."""
-    if cfg.learnablePrompt and cfg.model_CI == "CLIP":
+    """Runtime lr override rules (train_ddp.py:104-114).  Note: like the
+    reference, the learnablePrompt branch fires regardless of model_CI —
+    the flag defaults to 1, so default runs get SGD lr=1e-3."""
+    if cfg.learnablePrompt:
         return 1e-3
     return 1e-3 if cfg.num_classes > 2 else 1e-5
 
@@ -74,7 +76,7 @@ def make_optimizer(cfg: Config, params=None, steps_per_epoch: int = 100
                    ) -> optax.GradientTransformation:
     sched = make_lr_schedule(cfg, steps_per_epoch)
     wd = 1e-7
-    if cfg.learnablePrompt and cfg.model_CI == "CLIP":
+    if cfg.learnablePrompt:
         inner = optax.chain(optax.add_decayed_weights(wd),
                             optax.sgd(learning_rate=sched))
     else:

@@ -235,3 +235,11 @@ def test_synthetic_text_ci_tokens():
     s = ds[0]
     assert s["input_CI"].shape == (10, 77)     # 10 devided prompts
     assert s["input_CI"].dtype == np.int32
+
+    # 'single' prompt (~114 byte-tokens) must truncate, not crash, under
+    # the byte-level fallback tokenizer
+    cfg2 = cfg.replace(CI_prompt_version="single")
+    ds2 = syn.dataset(cfg2, "valid")
+    s2 = ds2[0]
+    assert s2["input_CI"].shape == (1, 77)
+    assert s2["input_CI"][0].max() == 49407    # EOT survives truncation
