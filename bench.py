@@ -18,15 +18,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 BAG_N = 8192
 BATCH = 8
-ITERS = 20
+ITERS = 50
 FEAT = 768
 EMBED = 512
+REPS = 5          # timing repetitions per measurement round
+MAX_SPREAD = 2.0  # max/min per-rep throughput ratio accepted as clean
+MAX_ROUNDS = 4    # re-measure rounds before giving up and taking the median
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
 
 def tpu_bags_per_sec() -> float:
@@ -73,13 +81,37 @@ def tpu_bags_per_sec() -> float:
     f1, fk = chained(1), chained(1 + ITERS)
     float(f1(variables, batch))                    # compile + warm
     float(fk(variables, batch))
-    t0 = time.perf_counter()
-    float(f1(variables, batch))
-    d1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(fk(variables, batch))
-    dk = time.perf_counter() - t0
-    return ITERS * BATCH / max(dk - d1, 1e-9)
+
+    # Self-validating timing (round-1 lesson: a single (T(K)−T(1)) sample
+    # swung 21× between runs under tunnel contention).  Take REPS interleaved
+    # (d1, dk) pairs, compute per-pair throughput, and accept the round only
+    # when max/min spread < MAX_SPREAD; otherwise re-measure.  The reported
+    # value is the median of the last (cleanest) round; the spread is logged
+    # to stderr so the JSON line stays the single-line contract.
+    best = None  # (spread, throughputs)
+    for rnd in range(MAX_ROUNDS):
+        thr = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(f1(variables, batch))
+            d1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(fk(variables, batch))
+            dk = time.perf_counter() - t0
+            thr.append(ITERS * BATCH / max(dk - d1, 1e-9))
+        spread = max(thr) / max(min(thr), 1e-9)
+        _log(f"bench round {rnd}: per-rep bags/s="
+             f"{[round(t, 1) for t in thr]} spread={spread:.2f}x")
+        if best is None or spread < best[0]:
+            best = (spread, thr)
+        if spread < MAX_SPREAD:
+            break
+        _log("bench: spread too wide (contention?), re-measuring")
+    spread, thr = best
+    if spread >= MAX_SPREAD:
+        _log(f"bench: WARNING spread {spread:.2f}x never settled below "
+             f"{MAX_SPREAD}x; reporting the median of the cleanest round")
+    return float(np.median(thr))
 
 
 def torch_cpu_bags_per_sec(max_seconds: float = 20.0) -> float:

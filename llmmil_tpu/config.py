@@ -73,6 +73,12 @@ class Config:
     model_CI: str = "simpleFCs_v1"     # simpleFCs_v{1,1d,2,2d} | CLIP
     aggregator: str = "TransMIL"       # ABMIL | ABMIL_v2 | TransMIL | TransMIL_seperate | TransMIL_per_modality | -
     model_family: str = "aggregator"   # aggregator | clip (late fusion) | concat (early baseline)
+    # Dispatch for 'wMask' in model_CT (reference model/utils.py:7-9 routes
+    # these to aggregator_wMask): 'concat' = the reference's concat-fusion
+    # architecture (aggregator_wMask.py:66-114, single sigmoid head over a
+    # 2-layer fc); 'twoway' = this framework's mask-channel flagship
+    # (the TwoWay fusion model fed the mask as an extra input channel).
+    wmask_family: str = "concat"
     # aggregator_tmp variant (aggregator_tmp.py:120-126): separate clinical
     # encoders + per-modality TwoWayTransformers instead of the shared ones
     separate_CI_encoders: int = 0
@@ -80,6 +86,11 @@ class Config:
     # 96³, or 3 mask-centred crops for the wMask variant)
     swin_n_subsample: int = 0
     swin_crop: List[int] = field(default_factory=list)
+    # MViT chunk encoder: 'v2_s' = MViT-v2-S multiscale architecture (the
+    # reference's torchvision mvit_v2_s, mvit_v2.py:15); 'compact' = small
+    # plain ViT.  mvit_depths=[] → the v2_s stage depths (1,2,11,2).
+    mvit_arch: str = "v2_s"
+    mvit_depths: List[int] = field(default_factory=list)
 
     # ---- prompts (config.py:63-67) ----
     learnablePrompt: int = 1
@@ -155,9 +166,13 @@ class Config:
     param_dtype: str = "float32"
     bag_buckets: List[int] = field(
         default_factory=lambda: [512, 1024, 2048, 4096, 8192, 16384])
-    # Fused Pallas MIL-pooling kernel (ops/pallas/mil_pool.py). Default off:
-    # on v5e the XLA-fused path currently wins for this op (the kernel's
-    # rank-1 pooling matmuls underutilise the MXU); measured in BENCH notes.
+    # Fused Pallas MIL-pooling kernel (ops/pallas/mil_pool.py).  Measured
+    # ruling (BENCH_NOTES r2): the v4 kernel beats XLA on the isolated op
+    # (1.26 vs 2.05 ms at 8×16384×768 bf16, same harness) but loses at the
+    # model level (flagship 2827 vs 2666 bags/s at 8k bags; 1264 vs 1182 at
+    # 16k) because the flagship pools small 512-d fused streams where XLA's
+    # producer fusion wins.  Default off; turn on for raw 768-d bag pooling
+    # (clip/concat/wMask baselines with 16k bags).
     use_pallas: bool = False
     # CT-trunk rematerialisation: 'all' | 'early' (stages 1-2 only; stages
     # 3-4 activations are small enough to store) | 'none'.  Measured at full

@@ -28,7 +28,19 @@ from .clinical import clinical_prompts, clinical_vector
 from .cohort import build_cohort
 from .ct_io import (crop_or_pad_volume, hu_normalize, load_ct_metadata,
                     read_nifti)
+from .medical_io import nrrd_mask_to_zyx, read_dicom_tags, read_nrrd
 from .tokenizer import tokenize
+
+
+def reference_dicom_path(cfg: Config, row) -> Optional[str]:
+    """The reference's DICOM metadata path formula (dataset.py:258-259):
+    string-sliced out of the excel column ``CT_before1``."""
+    c = row.get("CT_before1")
+    if not isinstance(c, str) or len(c) < 4:
+        return None
+    return (f"{cfg.path_data_CT}/{row['hospital']}/{row['patientid']}/"
+            f"{c[1:-3]}/{c[-2]}/LUNG_{row['hospital']}_{row['patientid']}"
+            f"_CT_{c[1]}_{c[-2]}_0003.dcm")
 
 
 class MultimodalDataset:
@@ -45,15 +57,27 @@ class MultimodalDataset:
         self.ct_store = feature_store or {}
         self._tokenizer = None
         # fixed per-mode offsets: python's salted hash() would make
-        # augmentation streams differ between identically-seeded runs
+        # augmentation streams differ between identically-seeded runs.
+        # Randomness is drawn from a per-(epoch, index) stream rather than
+        # one shared RandomState so samples can be loaded by parallel
+        # workers in any order with identical results.
         mode_off = {"train": 0, "valid": 1, "test": 2}.get(mode, 3)
-        self.rng = np.random.RandomState(cfg.seed + mode_off)
+        self.base_seed = cfg.seed + mode_off
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _sample_rng(self, idx: int) -> np.random.RandomState:
+        return np.random.RandomState(
+            (self.base_seed * 1_000_003 + self.epoch * 9_973 + idx)
+            % (2 ** 31 - 1))
 
     def __len__(self) -> int:
         return len(self.df)
 
     # ---- modality loaders -------------------------------------------------
-    def _load_ct(self, row):
+    def _load_ct(self, row, rng):
         cfg = self.cfg
         key = ("CT", row["hospital"], row["patientid"])
         if self.feature_store and key in self.feature_store:
@@ -63,7 +87,13 @@ class MultimodalDataset:
             base = (f"{cfg.path_data_CT}/X({sx})Y({sy})Z({sz})/"
                     f"{row['hospital']}/{row['patientid']}")
             img = read_nifti(base + ".nii.gz")
-            meta = load_ct_metadata(base + ".json")
+            dcm = reference_dicom_path(cfg, row)
+            if dcm and os.path.exists(dcm):
+                # real hospital layout: per-study DICOM header
+                # (dataset.py:258-260)
+                meta = read_dicom_tags(dcm)
+            else:
+                meta = load_ct_metadata(base + ".json")
             from . import native
             fused = native.hu_normalize_crop(img, meta, cfg.ct_shape[0],
                                              cfg.ct_hw)
@@ -80,9 +110,9 @@ class MultimodalDataset:
             mask = self._load_tumor_mask(row, img.shape)
         if self.mode == "train" and cfg.augmentation:
             if mask is not None:
-                img, mask = aug.augment_ct(img, self.rng, mask=mask)
+                img, mask = aug.augment_ct(img, rng, mask=mask)
             else:
-                img = aug.augment_ct(img, self.rng)
+                img = aug.augment_ct(img, rng)
         if cfg.tumorCrop and mask is not None:
             from .ct_io import tumor_crop_box
             img = tumor_crop_box(img, mask)
@@ -92,15 +122,26 @@ class MultimodalDataset:
         return img, None
 
     def _load_tumor_mask(self, row, shape) -> np.ndarray:
-        """Tumour mask: .npy/.nii.gz under path_data_mask (the reference
-        reads nrrd via pynrrd, dataset.py:265-299 — format-gated here);
+        """Tumour mask: the reference's nrrd layout (``CT_{pid}.nrrd`` plus
+        the optional ``prediction_3d_lowres/CT_{pid}.nrrd``, summed and
+        binarised — dataset.py:265-270), or .npy/.nii.gz equivalents;
         in-memory store for synthetic runs; zeros if absent."""
         key = ("mask", row["hospital"], row["patientid"])
         if self.feature_store and key in self.feature_store:
             m = np.asarray(self.feature_store[key], dtype=np.float32)
         else:
             base = f"{self.cfg.path_data_mask}/CT_{row['patientid']}"
-            if os.path.exists(base + ".npy"):
+            if os.path.exists(base + ".nrrd"):
+                m, _ = read_nrrd(base + ".nrrd")
+                m = m.astype(np.float32)
+                low = (f"{self.cfg.path_data_mask}/prediction_3d_lowres/"
+                       f"CT_{row['patientid']}.nrrd")
+                if os.path.exists(low):
+                    ml, _ = read_nrrd(low)
+                    if ml.shape == m.shape:
+                        m = m + ml.astype(np.float32)
+                m = nrrd_mask_to_zyx(m)          # (X,Y,Z) → (Z,Y,X)
+            elif os.path.exists(base + ".npy"):
                 m = np.load(base + ".npy").astype(np.float32)
             elif os.path.exists(base + ".nii.gz"):
                 m = read_nifti(base + ".nii.gz").astype(np.float32)
@@ -109,7 +150,7 @@ class MultimodalDataset:
         return crop_or_pad_volume(np.clip(m, 0, 1), self.cfg.ct_shape[0],
                                   self.cfg.ct_hw)
 
-    def _load_bag(self, row) -> np.ndarray:
+    def _load_bag(self, row, rng) -> np.ndarray:
         cfg = self.cfg
         kind = row["pathologyimage"]
         key = ("pathology", row["hospital"], row["patientid"])
@@ -120,7 +161,7 @@ class MultimodalDataset:
                  f"{kind}/{row['patientid']}.npy")
             feat = np.load(p).astype(np.float32)
         if self.mode == "train" and cfg.augmentation:
-            feat = instance_dropout(feat, kind, self.rng)
+            feat = instance_dropout(feat, kind, rng)
         return feat
 
     def _load_ci(self, row) -> np.ndarray:
@@ -162,14 +203,15 @@ class MultimodalDataset:
     def __getitem__(self, idx: int) -> Dict:
         cfg = self.cfg
         row = self.df.iloc[idx]
+        rng = self._sample_rng(idx)
         sample: Dict = {"ID": row["patientid"], "label": self._label(row)}
         if "CT" in cfg.modality:
-            ct, ct_mask = self._load_ct(row)
+            ct, ct_mask = self._load_ct(row, rng)
             sample["input_CT"] = ct
             if ct_mask is not None:
                 sample["mask_CT"] = ct_mask
         if "pathology" in cfg.modality:
-            sample["input_pathology"] = self._load_bag(row)
+            sample["input_pathology"] = self._load_bag(row, rng)
             sample["BpRc_class"] = np.array(
                 [0.0 if row["pathologyimage"] == "Biopsy" else 1.0],
                 dtype=np.float32)
@@ -235,7 +277,8 @@ class BatchLoader:
     def __init__(self, dataset: MultimodalDataset, batch_size: int,
                  sampler=None, shuffle: bool = False, seed: int = 0,
                  buckets: Sequence[int] | None = None,
-                 prefetch: int = 2, drop_last: bool = False):
+                 prefetch: int = 2, drop_last: bool = False,
+                 num_workers: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.sampler = sampler
@@ -245,9 +288,16 @@ class BatchLoader:
         self.buckets = tuple(buckets or dataset.cfg.bag_buckets)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # parallel per-sample loading (the 16-worker torch DataLoader
+        # equivalent, train_ddp.py:75-76).  Safe because the dataset draws
+        # augmentation randomness per (epoch, index), not from shared state;
+        # results are identical at any worker count.
+        self.num_workers = num_workers
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(epoch)
         if self.sampler is not None:
             self.sampler.set_epoch(epoch)
 
@@ -287,6 +337,14 @@ class BatchLoader:
         idx = self._indices()
         if self.drop_last:
             idx = idx[:len(idx) - len(idx) % self.batch_size]
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for start in range(0, len(idx), self.batch_size):
+                    chunk = idx[start:start + self.batch_size]
+                    yield self._collate(list(pool.map(
+                        lambda i: self.ds[int(i)], chunk)))
+            return
         for start in range(0, len(idx), self.batch_size):
             chunk = idx[start:start + self.batch_size]
             yield self._collate([self.ds[int(i)] for i in chunk])

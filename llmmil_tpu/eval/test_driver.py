@@ -74,10 +74,23 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
             variables["batch_stats"] = batch_stats
         return model.apply(variables, batch, train=False)["probs"]
 
+    def shape_key(db):
+        return tuple(sorted((k, getattr(v, "shape", None))
+                            for k, v in db.items()))
+
     ids, probs1, labels, times = [], [], [], []
+    warmed = set()
     for batch in loader:
         db = {k: v for k, v in batch.items() if k != "ID"}
         n_in_batch = batch["label"].shape[0]
+        # explicit per-shape warm-up: each (bag bucket × batch size) shape
+        # compiles its own program — run it once untimed so the recorded
+        # per-patient latency is never a compile (VERDICT r1 weak #6)
+        key = shape_key(db)
+        if key not in warmed:
+            jax.block_until_ready(
+                forward(state.params, state.batch_stats, db))
+            warmed.add(key)
         t0 = time.perf_counter()
         p = np.asarray(jax.block_until_ready(
             forward(state.params, state.batch_stats, db)))

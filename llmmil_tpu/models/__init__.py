@@ -5,14 +5,14 @@ from .twoway import (TwoWayTransformer, TwoWayTransformer2,
                      TwoWayAttentionBlock, TwoWayAttentionBlock2,
                      Attention, MLPBlock)
 from .transmil_per_modality import TransMILPerModality
-from .baselines import AggregatorClip, AggregatorConcat
+from .baselines import AggregatorClip, AggregatorConcat, AggregatorWMask
 from .ct_resnext import ResNeXt3D, finetune_param_labels
 from .resnet2d import Resnet18_2D
 from .clip_text import CLIPTextEncoder, CoOpClinicalEncoder, CLIPTextConfig
 from .ct_mc3 import ResnetMC3_18, VideoResNetFeatures
 from .ct_r2plus1d import Resnet2plus1D_18
 from .ct_swin import SwinUNETRMIL
-from .ct_mvit import MViTChunked
+from .ct_mvit import MViTChunked, MViTv2Encoder
 from .aggregator import Aggregator, build_model
 
 __all__ = [
@@ -21,9 +21,10 @@ __all__ = [
     "NystromSelfAttention", "TwoWayTransformer", "TwoWayAttentionBlock",
     "Attention", "MLPBlock", "CLIPTextEncoder", "CoOpClinicalEncoder",
     "CLIPTextConfig", "ResnetMC3_18", "VideoResNetFeatures",
-    "Resnet2plus1D_18", "SwinUNETRMIL", "MViTChunked",
+    "Resnet2plus1D_18", "SwinUNETRMIL", "MViTChunked", "MViTv2Encoder",
     "Aggregator", "build_model", "TwoWayTransformer2",
     "TwoWayAttentionBlock2", "TransMILPerModality", "AggregatorClip",
-    "AggregatorConcat", "ResNeXt3D", "finetune_param_labels",
+    "AggregatorConcat", "AggregatorWMask", "ResNeXt3D",
+    "finetune_param_labels",
     "Resnet18_2D",
 ]

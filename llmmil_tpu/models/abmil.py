@@ -49,7 +49,10 @@ class ABMIL(nn.Module):
 
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         if self.use_pallas and mask is not None and self.K == 1:
-            pooled, att = mil_pool(x, mask, wv, bv, wu, bu, ww, bw)
+            # feed the kernel the compute dtype (bf16 on TPU): its gate
+            # GEMMs run at the MXU's native rate in the bag's dtype
+            pooled, att = mil_pool(x.astype(self.dtype), mask,
+                                   wv, bv, wu, bu, ww, bw)
             return pooled[:, None, :].astype(x.dtype), att[:, None, :]
         pooled, att = gated_attention_pool(
             x.astype(self.dtype), wv.astype(self.dtype), bv, wu, bu, ww, bw,

@@ -45,6 +45,17 @@ from .twoway import TwoWayTransformer
 EMBED_DIM = 512
 
 
+def mask_centroids(m: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample tumour-mask centroid (B, 3) int32 from a (B, D, H, W) mask
+    (reference ``get_center_of_mask``, swinUNETR_wMask.py:48-77)."""
+    tot = jnp.maximum(m.sum(axis=(1, 2, 3)), 1.0)              # (B,)
+    return jnp.stack([
+        (m.sum(axis=(2, 3)) * jnp.arange(m.shape[1])).sum(1) / tot,
+        (m.sum(axis=(1, 3)) * jnp.arange(m.shape[2])).sum(1) / tot,
+        (m.sum(axis=(1, 2)) * jnp.arange(m.shape[3])).sum(1) / tot,
+    ], axis=-1).astype(jnp.int32)
+
+
 def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
     """CT-extractor factory (aggregator.py:17-34 dispatch)."""
     kw = {} if name is None else {"name": name}
@@ -63,7 +74,11 @@ def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
         crop = tuple(cfg.swin_crop) if cfg.swin_crop else (96, 96, 96)
         return SwinUNETRMIL(n_subsample=n_sub, crop=crop, dtype=dtype, **kw)
     if cfg.model_CT == "MViT":
-        return MViTChunked(n_classes=cfg.num_classes, dtype=dtype, **kw)
+        mv_kw = dict(arch=cfg.mvit_arch)
+        if cfg.mvit_depths:
+            mv_kw["depths"] = tuple(cfg.mvit_depths)
+        return MViTChunked(n_classes=cfg.num_classes, dtype=dtype,
+                           **mv_kw, **kw)
     raise ValueError(f"unknown model_CT {cfg.model_CT}")
 
 
@@ -182,17 +197,7 @@ class Aggregator(nn.Module):
                         # SwinUNETR_wMask: crops constrained around each
                         # sample's tumour-mask centroid
                         # (swinUNETR_wMask.py:48-77)
-                        m = batch["mask_CT"][..., 0]       # (B, D, H, W)
-                        tot = jnp.maximum(
-                            m.sum(axis=(1, 2, 3)), 1.0)    # (B,)
-                        center = jnp.stack([
-                            (m.sum(axis=(2, 3))
-                             * jnp.arange(m.shape[1])).sum(1) / tot,
-                            (m.sum(axis=(1, 3))
-                             * jnp.arange(m.shape[2])).sum(1) / tot,
-                            (m.sum(axis=(1, 2))
-                             * jnp.arange(m.shape[3])).sum(1) / tot,
-                        ], axis=-1).astype(jnp.int32)      # (B, 3)
+                        center = mask_centroids(batch["mask_CT"][..., 0])
                     feat = self._ct_extractor()(ct_in, center=center,
                                                 train=train)
                 else:
@@ -229,8 +234,48 @@ class Aggregator(nn.Module):
                 n = tokens.shape[1]
             return sinusoidal_pe(n, EMBED_DIM, dtype=tokens.dtype)[None]
 
+        # ---- alignment_base: which side of the TwoWayTransformer is the
+        # query ("point") side (transformer.py:78-98).  The reference's
+        # default config uses 'CI' (run_train.sh:81): CI is the query and the
+        # modality tokens are the keys.  'CT'/'pathology' make that modality
+        # the query side (the reference's CT-as-point path crashes on a
+        # shape bug; this is the working superset).  Unknown values and
+        # 'pathology' without a pathology branch are rejected loudly instead
+        # of the reference's silent fall-through.
+        ab = c.alignment_base
+        if ab not in ("CT", "pathology", "CI", "none"):
+            raise ValueError(f"unknown alignment_base {ab!r}")
+        if ab == "CT" and not has_ct:
+            raise ValueError("alignment_base='CT' without CT modality")
+        if ab == "pathology" and not has_pth:
+            raise ValueError("alignment_base='pathology' without pathology")
+
+        def fuse(tw, tokens, tok_mask, ci, swap):
+            """Cross-attend modality tokens with the projected CI.
+
+            Returns (modality_emb, ci_emb, (modality_emb_mask, ci_emb_mask)):
+            ``swap=False`` → CI is the query side (reference default);
+            ``swap=True`` → the modality is the query side.  The first return
+            is always the reference's ``x_<mod>2CI`` (the query-side output),
+            the second the other side.
+            """
+            if swap:
+                q, k = tw(ci, pe_for(ci), tokens, point_mask=tok_mask)
+                return q, k, (tok_mask, None)
+            q, k = tw(tokens, pe_for(tokens), ci, image_mask=tok_mask)
+            return q, k, (None, tok_mask)
+
+        def mask_or_ones(streams, masks):
+            if all(m is None for m in masks):
+                return None
+            return jnp.concatenate(
+                [jnp.broadcast_to(m, s.shape[:2]) if m is not None
+                 else jnp.ones(s.shape[:2], bool)
+                 for s, m in zip(streams, masks)], axis=1)
+
         attns = []
         emb_ct2ci = emb_pth2ci = None
+        ct_emb_mask = pth_emb_mask = None
         if has_ct and has_pth:
             if c.separate_CI_encoders:
                 tw_ct = twoway("TwoWayTransformer_CT")
@@ -239,9 +284,11 @@ class Aggregator(nn.Module):
                 tw_ct = tw_pth = twoway("TwoWayTransformer_Both")
             ci_ct = tanh_proj(x_ci_ct, "fc_CI2CT")
             ci_pth = tanh_proj(x_ci_pth, "fc_CI2Pth")
-            emb_ct2ci, x_ci2ct = tw_ct(ct_tokens, pe_for(ct_tokens), ci_ct)
-            emb_pth2ci, x_ci2pth = tw_pth(pth_tokens, pe_for(pth_tokens),
-                                          ci_pth, image_mask=pth_mask)
+            emb_ct2ci, x_ci2ct, (ct_emb_mask, ci2ct_mask) = fuse(
+                tw_ct, ct_tokens, None, ci_ct, swap=(ab == "CT"))
+            emb_pth2ci, x_ci2pth, (pth_emb_mask, ci2pth_mask) = fuse(
+                tw_pth, pth_tokens, pth_mask, ci_pth,
+                swap=(ab == "pathology"))
             if c.separate_CI_encoders:
                 # aggregator_tmp's 5-tuple contract (aggregator_tmp.py:204-211)
                 outputs["emb_CI2CT"] = x_ci2ct
@@ -251,34 +298,30 @@ class Aggregator(nn.Module):
                                   name="aggregator_CT")
                 agg_pth = TransMIL(c.num_classes, L=EMBED_DIM, dtype=dt,
                                    name="aggregator_Pth")
-                x_ci2ct = agg_ct(x_ci2ct, train=train)[0][:, None]
-                x_ci2pth = agg_pth(x_ci2pth, mask=pth_mask,
+                x_ci2ct = agg_ct(x_ci2ct, mask=ci2ct_mask,
+                                 train=train)[0][:, None]
+                x_ci2pth = agg_pth(x_ci2pth, mask=ci2pth_mask,
                                    train=train)[0][:, None]
-                pth_mask_s = None
-            else:
-                pth_mask_s = pth_mask
+                ci2ct_mask = ci2pth_mask = None
             streams = [emb_ct2ci, x_ci2ct, emb_pth2ci, x_ci2pth]
+            masks = [ct_emb_mask, ci2ct_mask, pth_emb_mask, ci2pth_mask]
             x0 = jnp.concatenate(streams, axis=1)
-            if pth_mask_s is not None:
-                ones = [jnp.ones(s.shape[:2], bool) for s in streams[:3]]
-                x0_mask = jnp.concatenate(ones + [pth_mask_s], axis=1)
-            else:
-                x0_mask = None
+            x0_mask = mask_or_ones(streams, masks)
         elif has_ct:
             tw = twoway("TwoWayTransformer_CT")
             ci_ct = tanh_proj(x_ci, "fc_CI2CT")
-            emb_ct2ci, x_ci2ct = tw(ct_tokens, pe_for(ct_tokens), ci_ct)
+            emb_ct2ci, x_ci2ct, (ct_emb_mask, ci2ct_mask) = fuse(
+                tw, ct_tokens, None, ci_ct, swap=(ab == "CT"))
             x0 = jnp.concatenate([emb_ct2ci, x_ci2ct], axis=1)
             x0_mask = None
         elif has_pth:
             tw = twoway("TwoWayTransformer_Pth")
             ci_pth = tanh_proj(x_ci, "fc_CI2Pth")
-            emb_pth2ci, x_ci2pth = tw(pth_tokens, pe_for(pth_tokens), ci_pth,
-                                      image_mask=pth_mask)
-            x0 = jnp.concatenate([emb_pth2ci, x_ci2pth], axis=1)
-            x0_mask = (jnp.concatenate(
-                [jnp.ones(emb_pth2ci.shape[:2], bool), pth_mask], axis=1)
-                if pth_mask is not None else None)
+            emb_pth2ci, x_ci2pth, (pth_emb_mask, ci2pth_mask) = fuse(
+                tw, pth_tokens, pth_mask, ci_pth, swap=(ab == "pathology"))
+            streams = [emb_pth2ci, x_ci2pth]
+            x0 = jnp.concatenate(streams, axis=1)
+            x0_mask = mask_or_ones(streams, [pth_emb_mask, ci2pth_mask])
         else:                                            # CI-only
             x0 = tanh_proj(x_ci, "fc_CI")
             x0_mask = None
@@ -303,13 +346,17 @@ class Aggregator(nn.Module):
         outputs["probs"] = head(x0, x0_mask, "fc")
 
         if has_ct and has_pth and c.loss_point == "CT-Pth-Last":
-            ct_stream = jnp.concatenate([emb_ct2ci, x_ci2ct], axis=1)
-            outputs["probs_CT"] = head(ct_stream, None, "fc_CT")
-            pth_stream = jnp.concatenate([emb_pth2ci, x_ci2pth], axis=1)
-            pstream_mask = (jnp.concatenate(
-                [jnp.ones(emb_pth2ci.shape[:2], bool), pth_mask_s], axis=1)
-                if pth_mask_s is not None else None)
-            outputs["probs_Pth"] = head(pth_stream, pstream_mask, "fc_Pth")
+            ct_streams = [emb_ct2ci, x_ci2ct]
+            ct_stream = jnp.concatenate(ct_streams, axis=1)
+            outputs["probs_CT"] = head(
+                ct_stream, mask_or_ones(ct_streams, [ct_emb_mask, ci2ct_mask]),
+                "fc_CT")
+            pth_streams = [emb_pth2ci, x_ci2pth]
+            pth_stream = jnp.concatenate(pth_streams, axis=1)
+            outputs["probs_Pth"] = head(
+                pth_stream,
+                mask_or_ones(pth_streams, [pth_emb_mask, ci2pth_mask]),
+                "fc_Pth")
 
         if emb_ct2ci is not None:
             outputs["emb_CT2CI"] = emb_ct2ci
@@ -322,8 +369,10 @@ class Aggregator(nn.Module):
 
 def build_model(cfg: Config):
     """Model factory (reference ``model/utils.py:6-12`` + the alternative
-    ``model/utils_clip.py:6-8``): the wMask variant is the same Aggregator
-    with a mask-aware CT extractor selected by ``model_CT``; ``model_family``
+    ``model/utils_clip.py:6-8``): ``'wMask' in model_CT`` dispatches to the
+    concat-fusion ``AggregatorWMask`` exactly like the reference's
+    ``get_model`` (``wmask_family='twoway'`` keeps the mask as an extra
+    channel into this framework's TwoWay flagship instead); ``model_family``
     selects the late-fusion (aggregator_clip) / concat (aggregator_previous)
     baselines."""
     dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else jnp.float32
@@ -333,4 +382,7 @@ def build_model(cfg: Config):
     if cfg.model_family == "concat":
         from .baselines import AggregatorConcat
         return AggregatorConcat(cfg=cfg, dtype=dtype)
+    if "wMask" in cfg.model_CT and cfg.wmask_family == "concat":
+        from .baselines import AggregatorWMask
+        return AggregatorWMask(cfg=cfg, dtype=dtype)
     return Aggregator(cfg=cfg, dtype=dtype)

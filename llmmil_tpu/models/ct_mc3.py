@@ -192,7 +192,10 @@ class MedicalNetFeatures(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.relu(_ConvBN(64, (7, 7, 7), (2, 2, 2), (3, 3, 3),
                             dtype=self.dtype, name="stem")(x, train))
-        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding="SAME")
+        # explicit (1,1) padding: torch MaxPool3d(3, 2, padding=1) window
+        # alignment (SAME would shift windows and break weight-port parity)
+        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
+                        padding=((1, 1), (1, 1), (1, 1)))
         feats = (64, 128)
         for i, (n_blocks, f) in enumerate(zip(self.layers, feats)):
             for b in range(n_blocks):

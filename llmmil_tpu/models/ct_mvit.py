@@ -54,8 +54,17 @@ class _ChunkViT(nn.Module):
 class MViTChunked(nn.Module):
     """(B, D, H, W, 1) volume → TransMIL over ⌈D/3⌉ chunk tokens.
     Returns (cls_embedding (B, 512), attn maps) like the reference's
-    ``return self.TransMIL(x_features)`` (mvit_v2.py:27)."""
+    ``return self.TransMIL(x_features)`` (mvit_v2.py:27).
+
+    ``arch='v2_s'`` uses the MViT-v2 multiscale encoder (the reference's
+    mvit_v2_s); ``arch='compact'`` keeps the small plain-ViT chunk encoder.
+    ``depths``/``dims``/``heads`` shrink the tower for tests/dry-runs.
+    """
     n_classes: int = 2
+    arch: str = "v2_s"
+    depths: tuple = (1, 2, 11, 2)
+    dims: tuple = (96, 192, 384, 768)
+    heads: tuple = (1, 2, 4, 8)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -69,7 +78,191 @@ class MViTChunked(nn.Module):
         chunks = x[..., 0].reshape(b, n_chunks, 3, h, w)
         chunks = chunks.transpose(0, 1, 3, 4, 2).reshape(
             b * n_chunks, h, w, 3)
-        feats = _ChunkViT(dtype=self.dtype, name="chunk_vit")(chunks)
+        if self.arch == "v2_s":
+            enc = MViTv2Encoder(depths=tuple(self.depths),
+                                dims=tuple(self.dims),
+                                heads=tuple(self.heads),
+                                dtype=self.dtype, name="chunk_mvit")
+        else:                                     # round-1 compact ViT
+            enc = _ChunkViT(dtype=self.dtype, name="chunk_vit")
+        feats = enc(chunks)
         feats = feats.reshape(b, n_chunks, 512)
         return TransMIL(n_classes=self.n_classes, L=512, dtype=self.dtype,
                         name="transmil")(feats, train=train)
+
+
+# ---------------------------------------------------------------------------
+# MViT-v2 (Li et al., CVPR 2022) — the reference's torchvision mvit_v2_s
+# chunk encoder (mvit_v2.py:15-17).  The reference feeds each 3-slice chunk
+# as a 3-channel image (torchvision unsqueezes a T=1 temporal axis), so the
+# encoder here is the 2-D-spatial MViT-v2: pooled multiscale attention with
+# residual pooling and decomposed relative position embeddings, 4 stages.
+# Weights are an absent external asset (SURVEY §2.11), so fidelity is to the
+# architecture; the head maps 768 → 512 like the reference's replaced
+# ``model.head[1]`` (mvit_v2.py:16-17).
+# ---------------------------------------------------------------------------
+
+
+def _pool_grid(x, h, w, stride, ker, parent, dtype):
+    """Depthwise-conv token pooling on the (h, w) grid.
+
+    x: (B, N=h·w, C) → (B, h'·w', C), h' = ceil(h/stride).
+    """
+    if stride == 1:
+        return x, h, w
+    b, n, c = x.shape
+    grid = x.reshape(b, h, w, c)
+    # explicit (1,1) padding: torch Conv2d(padding=1) window alignment
+    # (SAME pads asymmetrically for even grids and shifts the windows)
+    pooled = nn.Conv(c, (ker, ker), (stride, stride),
+                     padding=((ker // 2,) * 2, (ker // 2,) * 2),
+                     feature_group_count=c, use_bias=False, dtype=dtype,
+                     name=f"{parent}_pool")(grid)
+    h2, w2 = pooled.shape[1], pooled.shape[2]
+    pooled = nn.LayerNorm(name=f"{parent}_norm")(
+        pooled.reshape(b, h2 * w2, c))
+    return pooled, h2, w2
+
+
+def _rel_pos_bias(q, rel_h, rel_w, qh, qw, kh, kw):
+    """Decomposed relative positional bias (MViTv2 §3.1): per-axis learned
+    embeddings contracted with q.  q: (B, H, Nq, d) with Nq = qh·qw."""
+    # index tables: delta between query/key grid coords, each axis scaled
+    # when the two grids differ (q pooled vs k pooled at different rates) —
+    # d(i,j) = i·max(k/q,1) − j·max(q/k,1) + (k−1)·max(q/k,1), the
+    # get_rel_pos convention shared by the MViTv2/detectron2 reference code
+    import numpy as np
+    sh, sk = max(kh / qh, 1.0), max(qh / kh, 1.0)
+    idx_h = (np.arange(qh)[:, None] * sh - np.arange(kh)[None] * sk
+             + (kh - 1) * sk).astype(np.int32)
+    sh, sk = max(kw / qw, 1.0), max(qw / kw, 1.0)
+    idx_w = (np.arange(qw)[:, None] * sh - np.arange(kw)[None] * sk
+             + (kw - 1) * sk).astype(np.int32)
+    rh = rel_h[idx_h]                       # (qh, kh, d)
+    rw = rel_w[idx_w]                       # (qw, kw, d)
+    b, nh, _, d = q.shape
+    qg = q.reshape(b, nh, qh, qw, d)
+    bias_h = jnp.einsum("bnhwd,hkd->bnhwk", qg, rh.astype(q.dtype))
+    bias_w = jnp.einsum("bnhwd,wkd->bnhwk", qg, rw.astype(q.dtype))
+    bias = bias_h[..., :, None] + bias_w[..., None, :]  # (b,nh,qh,qw,kh,kw)
+    return bias.reshape(b, nh, qh * qw, kh * kw)
+
+
+class MultiScaleAttention(nn.Module):
+    """Pooling attention with residual pooling + decomposed rel-pos
+    (MViTv2; torchvision ``MultiscaleBlock.attn`` semantics, T=1)."""
+    dim_out: int
+    heads: int
+    q_stride: int = 1
+    kv_stride: int = 1
+    rel_pos: bool = True
+    pool_kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h, w):
+        b, n, _ = x.shape
+        nh = self.heads
+        dh = self.dim_out // nh
+        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype,
+                       name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        q, qh_, qw_ = _pool_grid(q, h, w, self.q_stride, self.pool_kernel,
+                                 "q", self.dtype)
+        k, kh_, kw_ = _pool_grid(k, h, w, self.kv_stride, self.pool_kernel,
+                                 "k", self.dtype)
+        v, _, _ = _pool_grid(v, h, w, self.kv_stride, self.pool_kernel,
+                             "v", self.dtype)
+
+        def split_heads(t):
+            return jnp.swapaxes(t.reshape(b, -1, nh, dh), 1, 2)
+
+        qh, kh2, vh = map(split_heads, (q, k, v))
+        attn = (qh @ jnp.swapaxes(kh2, -1, -2)) / jnp.sqrt(
+            jnp.asarray(dh, qh.dtype))
+        if self.rel_pos:
+            rel_h = self.param("rel_pos_h", nn.initializers.normal(0.02),
+                               (2 * max(qh_, kh_) - 1, dh))
+            rel_w = self.param("rel_pos_w", nn.initializers.normal(0.02),
+                               (2 * max(qw_, kw_) - 1, dh))
+            attn = attn + _rel_pos_bias(qh, rel_h, rel_w,
+                                        qh_, qw_, kh_, kw_)
+        attn = nn.softmax(attn, axis=-1)
+        out = attn @ vh
+        out = out + qh                          # residual pooling (v2)
+        out = jnp.swapaxes(out, 1, 2).reshape(b, -1, self.dim_out)
+        out = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
+        return out, qh_, qw_
+
+
+class MultiScaleBlock(nn.Module):
+    """LN → pooled attention (+pooled skip) → LN → MLP (+dim expand)."""
+    dim_out: int
+    heads: int
+    q_stride: int = 1
+    kv_stride: int = 1
+    mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h, w):
+        y, h2, w2 = MultiScaleAttention(
+            self.dim_out, self.heads, self.q_stride, self.kv_stride,
+            dtype=self.dtype, name="attn")(
+            nn.LayerNorm(name="norm1")(x), h, w)
+        skip = x
+        if self.q_stride > 1:
+            # skip path pools with (non-learned) max pooling on the grid
+            b, n, c = skip.shape
+            g = skip.reshape(b, h, w, c)
+            kp = self.pool_k()
+            g = nn.max_pool(g, (kp, kp), (self.q_stride, self.q_stride),
+                            padding=((kp // 2,) * 2, (kp // 2,) * 2))
+            skip = g.reshape(b, h2 * w2, c)
+        if skip.shape[-1] != self.dim_out:
+            skip = nn.Dense(self.dim_out, use_bias=False, dtype=self.dtype,
+                            name="proj_skip")(skip)
+        x = skip + y
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.gelu(nn.Dense(self.mlp_ratio * self.dim_out,
+                             dtype=self.dtype, name="mlp1")(y))
+        y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp2")(y)
+        return x + y, h2, w2
+
+    @staticmethod
+    def pool_k():
+        return 3
+
+
+class MViTv2Encoder(nn.Module):
+    """MViT-v2-S-shaped image encoder: patchify (7,7)/s4 → 4 stages of
+    pooled multiscale attention, dims (96,192,384,768), heads (1,2,4,8),
+    depths (1,2,11,2) by default (``mvit_v2_s``); mean-pool → head to
+    ``out_dim`` (the reference replaces the classifier with Linear(768,512),
+    mvit_v2.py:16-17)."""
+    depths: tuple = (1, 2, 11, 2)
+    dims: tuple = (96, 192, 384, 768)
+    heads: tuple = (1, 2, 4, 8)
+    out_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, 3)
+        x = nn.Conv(self.dims[0], (7, 7), (4, 4), padding=((3, 3), (3, 3)),
+                    dtype=self.dtype, name="patch_embed")(x)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        # kv pooling shrinks with stage (paper: stride 4 at stage1, /2 per
+        # stage transition); q pools once at each stage transition
+        kv_strides = (4, 2, 1, 1)
+        for s, (depth, dim, head) in enumerate(
+                zip(self.depths, self.dims, self.heads)):
+            for blk in range(depth):
+                q_stride = 2 if (s > 0 and blk == 0) else 1
+                x, h, w = MultiScaleBlock(
+                    dim, head, q_stride, kv_strides[s], dtype=self.dtype,
+                    name=f"stage{s}_block{blk}")(x, h, w)
+        x = nn.LayerNorm(name="norm")(x).mean(axis=1)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="head")(x)

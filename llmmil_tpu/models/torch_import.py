@@ -100,3 +100,52 @@ def convert_resnet_mc3_18(sd_model: Dict, sd_downsampling: Dict | None = None
             "kernel": _conv3d(sd_downsampling["weight"]),
             "bias": _np(sd_downsampling["bias"])}
     return params, stats
+
+
+def convert_medicalnet_state_dict(sd: Dict, layers=(3, 4)
+                                  ) -> Tuple[Dict, Dict]:
+    """MedicalNet 3-D ResNet-101 state_dict (Tencent MedicalNet
+    ``models/resnet.py`` naming; the reference loads
+    ``model/dim3/MedicalNet/pretrain/resnet_101.pth``, medicalNet.py:31) →
+    (params, batch_stats) for :class:`MedicalNetFeatures`.
+
+    Only the stages the reference consumes are mapped (stem + layer1/2 —
+    it returns the layer2 map, medicalNet.py:44-55).  Checkpoints saved via
+    DataParallel carry a ``module.`` prefix — stripped here.
+    """
+    sd = { (k[7:] if k.startswith("module.") else k): v
+           for k, v in sd.items() }
+    params: Dict = {}
+    stats: Dict = {}
+
+    bn_p, bn_s = _bn(sd, "bn1.")
+    params["stem"] = {"conv": {"kernel": _conv3d(sd["conv1.weight"])},
+                      "bn": bn_p}
+    stats["stem"] = {"bn": bn_s}
+
+    for i, n_blocks in enumerate(layers):
+        for b in range(n_blocks):
+            pre = f"layer{i + 1}.{b}."
+            name = f"layer{i + 1}_{b}"
+            blk_p: Dict = {}
+            blk_s: Dict = {}
+            for conv in ("conv1", "conv2", "conv3"):
+                bn_p, bn_s = _bn(sd, pre + conv.replace("conv", "bn") + ".")
+                blk_p[conv] = {
+                    "conv": {"kernel": _conv3d(sd[pre + conv + ".weight"])},
+                    "bn": bn_p}
+                blk_s[conv] = {"bn": bn_s}
+            if pre + "downsample.0.weight" in sd:
+                bn_p, bn_s = _bn(sd, pre + "downsample.1.")
+                w = np.transpose(
+                    _np(sd[pre + "downsample.0.weight"]), (2, 3, 4, 1, 0))
+                if not (i > 0 and b == 0):
+                    # stride-1 1³ downsamples fold to 2-D convs → 4-D kernel;
+                    # the strided (2,2,2) one (first block of layer2+) stays
+                    # a true 3-D conv in _ConvBN → keep the kD=1 axis
+                    w = w[0]
+                blk_p["downsample"] = {"conv": {"kernel": w}, "bn": bn_p}
+                blk_s["downsample"] = {"bn": bn_s}
+            params[name] = blk_p
+            stats[name] = blk_s
+    return params, stats

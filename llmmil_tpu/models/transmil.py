@@ -91,7 +91,10 @@ class NystromSelfAttention(nn.Module):
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = out[:, -n:]                       # drop the front padding
         if return_attn and attn is not None:
-            attn = attn[:, :, -n:, -n:]
+            # factored (left, right) map — slice the front padding off both
+            # sides; consumers reconstruct rows via ops.nystrom helpers
+            left, right = attn
+            attn = (left[:, :, -n:, :], right[:, :, :, -n:])
         return out, attn
 
 

@@ -78,5 +78,26 @@ def nystrom_attention(q, k, v, num_landmarks: int = 256,
     out = (attn1 @ attn2_inv) @ (attn3 @ v)                 # (B,H,N,Dh)
 
     if return_attn:
-        return out, attn1 @ attn2_inv @ attn3
+        # Factored form (left (B,H,N,m), right (B,H,m,N)): the full product
+        # is (B,H,N,N) — ~2 TiB at the 16k-instance production bag — so rows
+        # are reconstructed on demand (nystrom_attn_rows / _full below).
+        return out, (attn1 @ attn2_inv, attn3)
     return out, None
+
+
+def nystrom_attn_rows(factors, rows) -> jnp.ndarray:
+    """Reconstruct selected attention rows from the factored map.
+
+    factors: (left (B,H,N,m), right (B,H,m,N)); rows: int or index array.
+    Returns (B, H, len(rows), N) — e.g. ``rows=0`` for the cls-token
+    saliency row without ever forming the (N, N) product.
+    """
+    left, right = factors
+    idx = jnp.atleast_1d(jnp.asarray(rows))
+    return left[:, :, idx, :] @ right
+
+
+def nystrom_attn_full(factors) -> jnp.ndarray:
+    """Materialise the full (B, H, N, N) map — small N only (tests)."""
+    left, right = factors
+    return left @ right

@@ -73,11 +73,17 @@ def _mil_kernel(x_ref, mask_ref, wv_ref, bv_ref, wu_ref, bu_ref, ww_ref,
             get_dma((tile + 1) % 2, tile + 1).start()
 
         get_dma(slot, tile).wait()
-        x = xtile_vmem[slot].astype(jnp.float32)
-        gv = jnp.tanh(jnp.dot(x, wv_ref[:].astype(jnp.float32),
+        # Matmuls run in the bag's native dtype (bf16 in production) with
+        # fp32 accumulation: bf16×bf16 products are exact in fp32, and the
+        # v5e MXU runs bf16 at full rate — the fp32-upcast variant of this
+        # kernel was MXU-rate-bound at ~3× the bf16 GEMM roofline (BENCH
+        # notes r2).  fp32 bags keep fully-fp32 numerics (parity tests).
+        x = xtile_vmem[slot]
+        cd = x.dtype
+        gv = jnp.tanh(jnp.dot(x, wv_ref[:].astype(cd),
                               preferred_element_type=jnp.float32)
                       + bv_ref[:])
-        gu = jax.nn.sigmoid(jnp.dot(x, wu_ref[:].astype(jnp.float32),
+        gu = jax.nn.sigmoid(jnp.dot(x, wu_ref[:].astype(cd),
                                     preferred_element_type=jnp.float32)
                             + bu_ref[:])
         # (1, D) · (T, D)ᵀ → (1, T): logits as a row, no transpose store
@@ -92,7 +98,7 @@ def _mil_kernel(x_ref, mask_ref, wv_ref, bv_ref, wu_ref, bu_ref, ww_ref,
         m_new = jnp.maximum(m_run, jnp.max(lg))
         e = jnp.where(mt > 0, jnp.exp(lg - m_new), 0.0)       # (1, T)
         scale = jnp.exp(m_run - m_new)
-        acc = acc * scale + jnp.dot(e, x,
+        acc = acc * scale + jnp.dot(e.astype(cd), x,
                                     preferred_element_type=jnp.float32)
         s_new = s_run * scale + jnp.sum(e)
         return m_new, s_new, acc

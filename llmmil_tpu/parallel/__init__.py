@@ -2,7 +2,9 @@ from .mesh import (make_mesh, shard_batch, replicate, batch_sharding,
                    replicated_sharding)
 from .sampler import ShardedEpochSampler
 from .sp_mil import sharded_mil_pool, shard_bag
+from .multihost import initialize_from_args, is_primary, global_device_mesh
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding",
            "replicated_sharding", "ShardedEpochSampler",
-           "sharded_mil_pool", "shard_bag"]
+           "sharded_mil_pool", "shard_bag", "initialize_from_args",
+           "is_primary", "global_device_mesh"]

@@ -42,7 +42,8 @@ def main(argv=None):
         ds = syn.dataset(cfg, mode)
     else:
         ds = MultimodalDataset(cfg, mode)
-    loader = BatchLoader(ds, max(cfg.batch_size, 1), shuffle=False)
+    loader = BatchLoader(ds, max(cfg.batch_size, 1), shuffle=False,
+                         num_workers=cfg.num_workers)
 
     ckpt = None
     if cfg.test_pth:

@@ -53,8 +53,10 @@ def main(argv=None):
 
     sampler = ShardedEpochSampler(len(train_ds), shuffle=True,
                                   seed=cfg.seed)
-    train_loader = BatchLoader(train_ds, cfg.batch_size, sampler=sampler)
-    valid_loader = BatchLoader(valid_ds, cfg.batch_size, shuffle=False)
+    train_loader = BatchLoader(train_ds, cfg.batch_size, sampler=sampler,
+                               num_workers=cfg.num_workers)
+    valid_loader = BatchLoader(valid_ds, cfg.batch_size, shuffle=False,
+                               num_workers=cfg.num_workers)
 
     summary = fit(cfg, train_loader, valid_loader)
     print(f"best valid AUC: {summary['best_auc']:.4f} "

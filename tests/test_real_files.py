@@ -93,3 +93,91 @@ def test_real_file_pipeline(tmp_path):
     # test split reads the held-out hospital only
     ds_test = MultimodalDataset(cfg, "test")
     assert set(ds_test.df["hospital"]) <= {"EUMC", "HUMC", "SCHMC"}
+
+
+# ---- reference on-disk formats: DICOM header + NRRD masks ------------------
+
+def test_dicom_tag_roundtrip(tmp_path):
+    from llmmil_tpu.data import read_dicom_tags, write_dicom_ct_header
+    for implicit in (False, True):
+        p = str(tmp_path / f"hdr_{implicit}.dcm")
+        write_dicom_ct_header(
+            p, rescale_slope=2.0, rescale_intercept=-1024.0,
+            photometric="MONOCHROME1", bits_stored=16, implicit=implicit)
+        meta = read_dicom_tags(p)
+        assert "RescaleSlope" in meta            # dataset.py:545 containment
+        assert meta["RescaleSlope"] == 2.0
+        assert meta["RescaleIntercept"] == -1024.0
+        assert meta["PhotometricInterpretation"] == "MONOCHROME1"
+        assert meta["BitsStored"] == 16
+        assert meta["Modality"] == "CT"
+
+
+def test_nrrd_roundtrip(tmp_path):
+    from llmmil_tpu.data import read_nrrd, write_nrrd
+    rs = np.random.RandomState(0)
+    for enc in ("gzip", "raw"):
+        for dt in (np.int16, np.uint8, np.float32):
+            arr = (rs.rand(7, 9, 5) * 100).astype(dt)
+            p = str(tmp_path / f"m_{enc}_{np.dtype(dt).name}.nrrd")
+            write_nrrd(p, arr, encoding=enc)
+            back, hdr = read_nrrd(p)
+            assert hdr["encoding"] == enc
+            np.testing.assert_array_equal(back, arr)
+
+
+def test_hospital_layout_no_sidecar(tmp_path):
+    """A cohort laid out the way the reference reads it — per-study DICOM
+    header (dataset.py:258-260) and nrrd tumour masks (dataset.py:265-270),
+    NO json sidecar — round-trips through _load_ct/_load_tumor_mask."""
+    from llmmil_tpu.data import write_dicom_ct_header, write_nrrd
+    from llmmil_tpu.data.pipeline import reference_dicom_path
+
+    root = str(tmp_path)
+    _materialize(root)
+    cfg = Config(modality=["CT"], model_CT="resnetMC3_18_wMask",
+                 model_CI="simpleFCs_v1", CI_input_version="v1",
+                 spacing=[2.0, 2.0, 2.5], ct_shape=[12, 40, 40],
+                 ct_hw_override=40, augmentation=0,
+                 hospital_test=["EUMC", "HUMC", "SCHMC"],
+                 path_data_CT=os.path.join(root, "CT"),
+                 path_data_pathology=os.path.join(root, "Pathology"),
+                 path_data_excel=os.path.join(root, "Clinical_excel"),
+                 path_data_mask=os.path.join(root, "TumorMask"),
+                 learnablePrompt=0)
+    ds = MultimodalDataset(cfg, "train")
+    row = ds.df.iloc[0]
+
+    # strip the JSON sidecars so only the DICOM path can supply metadata
+    spacing = "X(2.0)Y(2.0)Z(2.5)"
+    for hosp in HOSP:
+        d = os.path.join(root, "CT", spacing, hosp)
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.endswith(".json"):
+                    os.remove(os.path.join(d, f))
+
+    dcm = reference_dicom_path(cfg, row)
+    assert dcm is not None and "LUNG_" in dcm
+    os.makedirs(os.path.dirname(dcm), exist_ok=True)
+    write_dicom_ct_header(dcm, rescale_slope=1.0, rescale_intercept=0.0,
+                          photometric="MONOCHROME2", bits_stored=12)
+
+    # nrrd mask in the reference layout: full-res + lowres, (X,Y,Z) order
+    mask_xyz = np.zeros((40, 40, 12), np.uint8)      # sizes: X Y Z
+    mask_xyz[10:20, 15:25, 3:7] = 1
+    os.makedirs(os.path.join(root, "TumorMask", "prediction_3d_lowres"),
+                exist_ok=True)
+    write_nrrd(os.path.join(root, "TumorMask",
+                            f"CT_{row['patientid']}.nrrd"), mask_xyz)
+    write_nrrd(os.path.join(root, "TumorMask", "prediction_3d_lowres",
+                            f"CT_{row['patientid']}.nrrd"), mask_xyz)
+
+    img, mask = ds._load_ct(row, ds._sample_rng(0))
+    assert img.shape == (12, 40, 40, 1)
+    assert 0.0 <= float(img.min()) and float(img.max()) <= 1.0
+    assert mask is not None and mask.shape == (12, 40, 40, 1)
+    # mask content survived the (X,Y,Z)→(Z,Y,X) transpose + F+L binarise
+    assert mask.max() == 1.0
+    np.testing.assert_array_equal(
+        np.asarray(mask[..., 0] > 0).nonzero()[0].min(), 3)

@@ -84,3 +84,81 @@ def test_mc3_weight_import_parity():
                       train=False)
     got_ncdhw = np.asarray(got).transpose(0, 4, 1, 2, 3)
     np.testing.assert_allclose(got_ncdhw, want, atol=2e-4)
+
+
+# ---- MedicalNet ResNet-101 (layer1/2) importer ------------------------------
+
+class _MNBottleneck(tnn.Module):
+    """MedicalNet bottleneck (Tencent models/resnet.py naming: bare
+    conv1/bn1/.../downsample attributes, stride on conv2)."""
+
+    def __init__(self, inp, planes, stride):
+        super().__init__()
+        self.conv1 = tnn.Conv3d(inp, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm3d(planes)
+        self.conv2 = tnn.Conv3d(planes, planes, 3, (stride,) * 3, 1,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm3d(planes)
+        self.conv3 = tnn.Conv3d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm3d(planes * 4)
+        self.downsample = None
+        if stride != 1 or inp != planes * 4:
+            self.downsample = tnn.Sequential(
+                tnn.Conv3d(inp, planes * 4, 1, (stride,) * 3, bias=False),
+                tnn.BatchNorm3d(planes * 4))
+        self.relu = tnn.ReLU()
+
+    def forward(self, x):
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        r = self.downsample(x) if self.downsample is not None else x
+        return self.relu(r + y)
+
+
+class _MedicalNetMini(tnn.Module):
+    def __init__(self, layers=(1, 1)):
+        super().__init__()
+        self.conv1 = tnn.Conv3d(1, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm3d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool3d(3, 2, padding=1)
+        inp = 64
+        for i, (n, planes) in enumerate(zip(layers, (64, 128))):
+            blocks = []
+            for b in range(n):
+                stride = 2 if (i > 0 and b == 0) else 1
+                blocks.append(_MNBottleneck(inp, planes, stride))
+                inp = planes * 4
+            setattr(self, f"layer{i + 1}", tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        return self.layer2(self.layer1(x))
+
+
+def test_medicalnet_weight_import_parity():
+    from llmmil_tpu.models.ct_mc3 import MedicalNetFeatures
+    from llmmil_tpu.models.torch_import import convert_medicalnet_state_dict
+
+    torch.manual_seed(1)
+    layers = (1, 1)
+    net = _MedicalNetMini(layers).eval()
+    # run a training step's worth of BN stat drift so running stats ≠ init
+    with torch.no_grad():
+        for p in net.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    sd = {("module." + k): v for k, v in net.state_dict().items()}  # DataParallel prefix
+
+    x = torch.randn(1, 1, 8, 32, 32)
+    with torch.no_grad():
+        want = net(x).numpy()                        # (1, 512, 1, 4, 4)
+
+    params, stats = convert_medicalnet_state_dict(sd, layers=layers)
+    model = MedicalNetFeatures(layers=layers)
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    got = model.apply({"params": params, "batch_stats": stats}, x_j,
+                      train=False)
+    got_ncdhw = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    assert got_ncdhw.shape == want.shape
+    np.testing.assert_allclose(got_ncdhw, want, atol=2e-4)
