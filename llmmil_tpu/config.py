@@ -171,13 +171,23 @@ class Config:
     # (1.26 vs 2.05 ms at 8×16384×768 bf16, same harness) but loses at the
     # model level (flagship 2827 vs 2666 bags/s at 8k bags; 1264 vs 1182 at
     # 16k) because the flagship pools small 512-d fused streams where XLA's
-    # producer fusion wins.  Default off; turn on for raw 768-d bag pooling
-    # (clip/concat/wMask baselines with 16k bags).
-    use_pallas: bool = False
+    # producer fusion wins.  'auto' (default) applies that ruling: kernel ON
+    # for raw 768-d bag pooling on TPU (clip/concat/wMask baselines), OFF
+    # for the flagship's fused streams; True/False force either path.
+    use_pallas: Any = "auto"
     # CT-trunk rematerialisation: 'all' | 'early' (stages 1-2 only; stages
     # 3-4 activations are small enough to store) | 'none'.  Measured at full
     # size on v5e: 'early' 10.6 GiB / 1294 ms vs 'all' 12.9 GiB / 1312 ms.
     ct_remat: str = "early"
+    # Temporal (kD>1) conv lowering in the CT trunk: 'conv3d' keeps XLA's
+    # native 3-D convolution; 'dfold' / 'dsum' compute the identical op as
+    # depth-folded 2-D convs (models/ct_mc3.py::DepthFoldedConv) to ride
+    # TPU's better-tuned 2-D conv gradient paths.  Measured at production
+    # size on v5e (BENCH_NOTES r2): CT-trunk grad 1075 ms (8.0% MFU) conv3d
+    # → 310 ms (26.8% MFU) dfold; fwd 133 → 103 ms.  Parameters and
+    # numerics are identical across modes (tests/test_depthfold.py), so
+    # checkpoints are mode-agnostic.  Default 'dfold'.
+    ct_temporal_mode: str = "dfold"
     ct_shape: List[int] = field(default_factory=lambda: [160, 512, 512])
     save_dir: str = "results"
     log_every: int = 10

@@ -61,6 +61,7 @@ def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
     kw = {} if name is None else {"name": name}
     if cfg.model_CT in ("resnetMC3_18", "resnetMC3_18_wMask"):
         return ResnetMC3_18(spacing_xy=cfg.spacing[0], remat=cfg.ct_remat,
+                            temporal_mode=cfg.ct_temporal_mode,
                             dtype=dtype, **kw)
     if cfg.model_CT == "medicalNet":
         return MedicalNetFeatures(dtype=dtype, **kw)
@@ -113,8 +114,10 @@ class Aggregator(nn.Module):
         raise ValueError(f"unknown model_CI {c.model_CI}")
 
     def _use_pallas(self) -> bool:
-        import jax
-        return bool(self.cfg.use_pallas) and jax.default_backend() == "tpu"
+        # flagship pools fused 512-d streams — 'auto' resolves to off here
+        # (XLA producer fusion wins; BENCH_NOTES r2 ruling)
+        from ..ops.pallas import resolve_use_pallas
+        return resolve_use_pallas(self.cfg.use_pallas, raw_bag=False)
 
     def _mil(self, name: str):
         c = self.cfg
@@ -376,6 +379,13 @@ def build_model(cfg: Config):
     selects the late-fusion (aggregator_clip) / concat (aggregator_previous)
     baselines."""
     dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else jnp.float32
+    if "CT" in cfg.modality:
+        known = ("resnetMC3_18", "resnetMC3_18_wMask", "medicalNet",
+                 "resnet2plus1d_18", "MViT")
+        if cfg.model_CT not in known and "SwinUNETR" not in cfg.model_CT:
+            # fail fast here rather than minutes later inside model.init
+            raise ValueError(f"unknown model_CT {cfg.model_CT!r}; "
+                             f"expected one of {known} or *SwinUNETR*")
     if cfg.model_family == "clip":
         from .baselines import AggregatorClip
         return AggregatorClip(cfg=cfg, dtype=dtype)

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..config import Config
+from ..ops.pallas import resolve_use_pallas
 from .abmil import ABMIL
 from .aggregator import EMBED_DIM, make_ct_extractor, mask_centroids
 from .ct_mc3 import ResnetMC3_18
@@ -60,6 +61,8 @@ class AggregatorClip(nn.Module):
                                        name="fc_pathology")(
                 batch["input_pathology"]))
             pooled, _ = ABMIL(L=EMBED_DIM, dtype=self.dtype,
+                              use_pallas=resolve_use_pallas(
+                                  c.use_pallas, raw_bag=True),
                               name="extractor_pathology")(
                 tokens, batch.get("mask_pathology"), train)
             feats["pathology"] = jnp.tanh(nn.Dense(
@@ -158,6 +161,8 @@ class AggregatorWMask(nn.Module):
                     bag, mask=pmask, train=train)
             else:                                   # gated attention (ABMIL)
                 pooled, _ = ABMIL(L=768, dtype=dt,
+                                  use_pallas=resolve_use_pallas(
+                                      c.use_pallas, raw_bag=True),
                                   name="extractor_pathology")(
                     bag, pmask, train)
                 pooled = pooled[:, 0]
@@ -200,6 +205,8 @@ class AggregatorConcat(nn.Module):
                 batch["input_CT"], train))
         if "pathology" in c.modality:
             pooled, _ = ABMIL(L=768, dtype=self.dtype,
+                              use_pallas=resolve_use_pallas(
+                                  c.use_pallas, raw_bag=True),
                               name="extractor_pathology")(
                 batch["input_pathology"], batch.get("mask_pathology"),
                 train)

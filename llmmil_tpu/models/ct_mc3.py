@@ -62,6 +62,68 @@ class LowChannelConv3D(nn.Module):
                            self.stride, self.padding)
 
 
+class DepthFoldedConv(nn.Module):
+    """(kD,kH,kW) 3-D conv computed by folding the depth taps into 2-D convs.
+
+    Numerically identical to ``nn.Conv`` with the same 5-D kernel param
+    (same name/shape, so checkpoints and the torch importer see no
+    difference).  XLA's TPU emitters run 3-D conv *gradients* at ~8% MFU
+    (BENCH_NOTES r2 profile: the entire 2x train-step gap); the folded forms
+    ride the far better tuned 2-D conv paths instead:
+
+    - ``dfold``: concat the kD depth-shifted views on channels, ONE 2-D conv
+      with kD*C input channels (deepest MXU contraction; kD x activation
+      materialisation);
+    - ``dsum``: kD separate 2-D convs summed (no activation blowup).
+    """
+    features: int
+    kernel: tuple          # (kD, kH, kW), kD > 1
+    stride: tuple          # (sD, sH, sW)
+    padding: tuple         # (pD, pH, pW) symmetric ints
+    mode: str = "dfold"
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.kernel
+        sd, sh, sw = self.stride
+        pd, ph, pw = self.padding
+        cin = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kd, kh, kw, cin, self.features))
+        b_ = (self.param("bias", nn.initializers.zeros, (self.features,))
+              if self.use_bias else None)
+        b, d, h, w, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0))) \
+            if pd else x
+        dout = (d + 2 * pd - kd) // sd + 1
+        span = sd * (dout - 1) + 1
+        dt = self.dtype
+        k = k.astype(dt)
+
+        def conv2d(inp, ker):
+            return jax.lax.conv_general_dilated(
+                inp.astype(dt), ker, (sh, sw), ((ph, ph), (pw, pw)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        if self.mode == "dfold":
+            parts = [xp[:, i:i + span:sd] for i in range(kd)]
+            y = jnp.concatenate(parts, axis=-1)       # (B,Dout,H,W,kd*C)
+            y = y.reshape(b * dout, h, w, kd * cin)
+            w2 = jnp.transpose(k, (1, 2, 0, 3, 4)).reshape(
+                kh, kw, kd * cin, self.features)
+            out = conv2d(y, w2)
+        else:                                          # dsum
+            out = conv2d(xp[:, 0:span:sd].reshape(b * dout, h, w, cin), k[0])
+            for i in range(1, kd):
+                out = out + conv2d(
+                    xp[:, i:i + span:sd].reshape(b * dout, h, w, cin), k[i])
+        if b_ is not None:
+            out = out + b_.astype(out.dtype)
+        return out.reshape(b, dout, *out.shape[1:])
+
+
 class _ConvBN(nn.Module):
     features: int
     kernel: tuple
@@ -69,10 +131,17 @@ class _ConvBN(nn.Module):
     padding: tuple
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    temporal_mode: str = "conv3d"   # 'conv3d' | 'dfold' | 'dsum'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if (len(self.kernel) == 3 and self.kernel[0] == 1
+        if (len(self.kernel) == 3 and self.kernel[0] > 1
+                and self.temporal_mode != "conv3d"):
+            x = DepthFoldedConv(self.features, self.kernel, self.stride,
+                                self.padding, mode=self.temporal_mode,
+                                use_bias=self.use_bias, dtype=self.dtype,
+                                name="conv")(x)
+        elif (len(self.kernel) == 3 and self.kernel[0] == 1
                 and self.stride[0] == 1 and self.padding[0] == 0):
             # depth-independent (1, kH, kW) conv: fold D into batch and run
             # a 2-D conv — numerically identical, and XLA's 2-D conv paths
@@ -102,6 +171,7 @@ class BasicBlock3D(nn.Module):
     stride: int = 1
     temporal: bool = True
     dtype: jnp.dtype = jnp.float32
+    temporal_mode: str = "conv3d"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,10 +182,10 @@ class BasicBlock3D(nn.Module):
             s = (1, self.stride, self.stride)
             p = (0, 1, 1)
         y = _ConvBN(self.features, k, s, p, dtype=self.dtype,
-                    name="conv1")(x, train)
+                    temporal_mode=self.temporal_mode, name="conv1")(x, train)
         y = nn.relu(y)
         y = _ConvBN(self.features, k, (1, 1, 1), p, dtype=self.dtype,
-                    name="conv2")(y, train)
+                    temporal_mode=self.temporal_mode, name="conv2")(y, train)
         if x.shape[-1] != self.features or self.stride != 1:
             x = _ConvBN(self.features, (1, 1, 1), s, (0, 0, 0),
                         dtype=self.dtype, name="downsample")(x, train)
@@ -133,12 +203,15 @@ class VideoResNetFeatures(nn.Module):
     temporal_layers: Sequence[bool] = (True, False, False, False)
     remat: str | bool = True     # True/'all' | 'early' (stages 1-2) | False
     dtype: jnp.dtype = jnp.float32
+    temporal_mode: str = "conv3d"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # BasicStem: Conv(3→64, (3,7,7), s(1,2,2), p(1,3,3)) + BN + ReLU
         x = nn.relu(_ConvBN(64, (3, 7, 7), (1, 2, 2), (1, 3, 3),
-                            dtype=self.dtype, name="stem")(x, train))
+                            dtype=self.dtype,
+                            temporal_mode=self.temporal_mode,
+                            name="stem")(x, train))
         remat_block = nn.remat(BasicBlock3D, static_argnums=(2,))
         for i, (n_blocks, feats, temporal) in enumerate(
                 zip(self.layers, self.channels, self.temporal_layers)):
@@ -148,6 +221,7 @@ class VideoResNetFeatures(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (i > 0 and b == 0) else 1
                 x = block(feats, stride, temporal, self.dtype,
+                          temporal_mode=self.temporal_mode,
                           name=f"layer{i + 1}_{b}")(x, train)
         return x
 
@@ -162,6 +236,7 @@ class ResnetMC3_18(nn.Module):
     spacing_xy: float = 0.6869
     remat: str | bool = True
     dtype: jnp.dtype = jnp.float32
+    temporal_mode: str = "conv3d"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -173,7 +248,8 @@ class ResnetMC3_18(nn.Module):
         x = LowChannelConv3D(3, k, s, p, use_bias=True, dtype=self.dtype,
                              name="downsampling")(x)
         return VideoResNetFeatures(
-            remat=self.remat, dtype=self.dtype, name="trunk")(x, train)
+            remat=self.remat, dtype=self.dtype,
+            temporal_mode=self.temporal_mode, name="trunk")(x, train)
 
 
 class MedicalNetFeatures(nn.Module):

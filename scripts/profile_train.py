@@ -122,7 +122,11 @@ def main(argv=None):
 
     def full_step(state_, batch):
         s2, m = train_step(state_, batch, rng)
-        return m["loss"]
+        # force the whole update: returning only the loss lets XLA DCE the
+        # entire backward + optimizer (measured: 161 ms vs the real 1193 ms)
+        upd = sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                  for x in jax.tree_util.tree_leaves(s2.params))
+        return m["loss"] + 0.0 * upd
 
     # CT-trunk-only gradient (isolates the 3-D CNN + BN)
     from llmmil_tpu.models.aggregator import make_ct_extractor

@@ -1,0 +1,83 @@
+"""DepthFoldedConv must be numerically identical to the native 3-D conv.
+
+The depth-folded lowering (models/ct_mc3.py::DepthFoldedConv) exists purely
+for TPU performance (3-D conv *gradients* run at ~8% MFU on v5e — the r2
+profile's entire train-step gap); it must not change numerics or the
+parameter tree, so checkpoints / the torch importer are mode-agnostic.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llmmil_tpu.models.ct_mc3 import DepthFoldedConv, ResnetMC3_18
+
+
+def _native_conv3d(x, k, stride, padding):
+    return jax.lax.conv_general_dilated(
+        x, k, stride, tuple((p, p) for p in padding),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+CASES = [
+    # (kernel, stride, padding)  — the shapes the MC3 trunk actually uses
+    ((3, 7, 7), (1, 2, 2), (1, 3, 3)),   # stem
+    ((3, 3, 3), (1, 1, 1), (1, 1, 1)),   # layer1 blocks
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),   # (r3d-style strided temporal)
+    ((3, 4, 4), (1, 2, 2), (1, 1, 1)),   # spacing stem
+]
+
+
+@pytest.mark.parametrize("mode", ["dfold", "dsum"])
+@pytest.mark.parametrize("kernel,stride,padding", CASES)
+def test_depthfold_matches_native(mode, kernel, stride, padding):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 9, 12, 12, 3)), jnp.float32)
+    mod = DepthFoldedConv(4, kernel, stride, padding, mode=mode)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    got = mod.apply(params, x)
+    ref = _native_conv3d(x, params["params"]["kernel"], stride, padding)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["dfold", "dsum"])
+def test_depthfold_gradients_match_native(mode):
+    kernel, stride, padding = (3, 3, 3), (1, 1, 1), (1, 1, 1)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, 8, 2)), jnp.float32)
+    mod = DepthFoldedConv(3, kernel, stride, padding, mode=mode)
+    params = mod.init(jax.random.PRNGKey(3), x)
+
+    def loss_fold(p, xx):
+        return jnp.sum(mod.apply(p, xx) ** 2)
+
+    def loss_ref(k, xx):
+        return jnp.sum(_native_conv3d(xx, k, stride, padding) ** 2)
+
+    gp, gx = jax.grad(loss_fold, argnums=(0, 1))(params, x)
+    rk, rx = jax.grad(loss_ref, argnums=(0, 1))(
+        params["params"]["kernel"], x)
+    np.testing.assert_allclose(np.asarray(gp["params"]["kernel"]),
+                               np.asarray(rk), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["dfold", "dsum"])
+def test_mc3_temporal_mode_same_params_same_output(mode):
+    """Same param tree, same numerics: a conv3d-trained checkpoint must be
+    loadable and equivalent under any temporal_mode."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 16, 1)), jnp.float32)
+    base = ResnetMC3_18(remat=False)
+    folded = ResnetMC3_18(remat=False, temporal_mode=mode)
+    variables = base.init(jax.random.PRNGKey(5), x)
+    v2 = folded.init(jax.random.PRNGKey(5), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v2))
+    got = folded.apply(variables, x)
+    ref = base.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

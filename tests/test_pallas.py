@@ -87,3 +87,38 @@ def test_abmil_module_pallas_path_matches_jnp():
         abmil_mod.mil_pool = orig
     np.testing.assert_allclose(np.asarray(got[:, 0]),
                                np.asarray(ref[:, 0]), atol=1e-5)
+
+
+def test_resolve_use_pallas_ruling(monkeypatch):
+    """'auto' applies the BENCH_NOTES r2 ruling: kernel only for raw-bag
+    pooling, only on TPU; explicit bools force (still TPU-gated); CLI
+    strings normalise."""
+    import llmmil_tpu.ops.pallas as pk
+
+    # CPU backend (this test env): everything resolves False
+    assert pk.resolve_use_pallas("auto", raw_bag=True) is False
+    assert pk.resolve_use_pallas(True, raw_bag=False) is False
+
+    # pretend we're on TPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert pk.resolve_use_pallas("auto", raw_bag=True) is True
+    assert pk.resolve_use_pallas("auto", raw_bag=False) is False
+    assert pk.resolve_use_pallas(True, raw_bag=False) is True
+    assert pk.resolve_use_pallas(False, raw_bag=True) is False
+    assert pk.resolve_use_pallas("true", raw_bag=False) is True
+    assert pk.resolve_use_pallas("false", raw_bag=True) is False
+
+
+def test_baselines_run_with_auto_on_cpu():
+    """'auto' default must leave the CPU path untouched (kernel off)."""
+    from llmmil_tpu.config import Config
+    from llmmil_tpu.models import build_model
+
+    cfg = Config(modality=["pathology"], model_family="concat",
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    x, mask, _ = _setup(B=2, N=130, L=768)
+    batch = {"input_pathology": x, "mask_pathology": mask, "input_CI": None}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+    assert np.isfinite(np.asarray(out["probs"])).all()
