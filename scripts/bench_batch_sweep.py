@@ -29,7 +29,7 @@ def main(argv=None):
     p.add_argument("--hw", type=int, default=512)
     p.add_argument("--bag", type=int, default=15616)
     p.add_argument("--iters", type=int, default=8)
-    p.add_argument("--temporal-mode", default="conv3d")
+    p.add_argument("--temporal-mode", default="dfold")
     p.add_argument("--small", action="store_true")
     ns = p.parse_args(argv)
     if ns.small:
@@ -99,21 +99,26 @@ def main(argv=None):
           f"temporal={ns.temporal_mode}\n")
     print(f"{'prog':<7} {'batch':>5} {'ms/step':>9} {'samp/s':>8} "
           f"{'GiB':>6}  compile")
+
+    # init ONCE at batch 1: params are batch-independent, and an eager init
+    # at batch 8 OOMs the chip (the im2col stem materialises ~16 GiB)
+    cfg = Config(**base, batch_size=1)
+    if ns.small:
+        cfg = cfg.replace(**small)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, make_batch(cfg, 1, rs),
+                               jax.random.PRNGKey(0))
+    extra = ({"batch_stats": state.batch_stats}
+             if state.batch_stats else {})
+    print("init done", flush=True)
+
+    def fwd(params, bt):
+        out = model.apply({"params": params, **extra}, bt, train=False)
+        return out["probs"].astype(jnp.float32).sum()
+
     for b in ns.batches:
-        cfg = Config(**base, batch_size=b)
-        if ns.small:
-            cfg = cfg.replace(**small)
-        model = build_model(cfg)
-        batch = make_batch(cfg, b, rs)
-        state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
-        extra = ({"batch_stats": state.batch_stats}
-                 if state.batch_stats else {})
-
-        def fwd(params, bt):
-            out = model.apply({"params": params, **extra}, bt, train=False)
-            return out["probs"].astype(jnp.float32).sum()
-
         try:
+            batch = make_batch(cfg, b, rs)
             ms, comp_s, gib = marginal_ms(
                 fwd, (state.params, batch), ns.iters)
             print(f"{'infer':<7} {b:>5} {ms:>9.1f} {b / (ms / 1e3):>8.2f} "
@@ -121,32 +126,29 @@ def main(argv=None):
         except Exception as e:
             print(f"{'infer':<7} {b:>5}  FAILED: {type(e).__name__}: "
                   f"{str(e)[:120]}", flush=True)
-        del state, batch, model
+        finally:
+            batch = None
 
     rng = jax.random.PRNGKey(1)
+    train_step = make_train_step(cfg, donate=False)
+
+    def step(st, bt):
+        s2, m = train_step(st, bt, rng)
+        upd = sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                  for x in jax.tree_util.tree_leaves(s2.params))
+        return m["loss"] + 0.0 * upd
+
     for b in ns.train_batches:
-        cfg = Config(**base, batch_size=b)
-        if ns.small:
-            cfg = cfg.replace(**small)
-        model = build_model(cfg)
-        batch = make_batch(cfg, b, rs)
-        state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
-        train_step = make_train_step(cfg, donate=False)
-
-        def step(st, bt):
-            s2, m = train_step(st, bt, rng)
-            upd = sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
-                      for x in jax.tree_util.tree_leaves(s2.params))
-            return m["loss"] + 0.0 * upd
-
         try:
+            batch = make_batch(cfg, b, rs)
             ms, comp_s, gib = marginal_ms(step, (state, batch), ns.iters)
             print(f"{'train':<7} {b:>5} {ms:>9.1f} {b / (ms / 1e3):>8.2f} "
                   f"{gib:>6.2f}  ({comp_s:.0f}s)", flush=True)
         except Exception as e:
             print(f"{'train':<7} {b:>5}  FAILED: {type(e).__name__}: "
                   f"{str(e)[:120]}", flush=True)
-        del state, batch, model
+        finally:
+            batch = None
 
 
 if __name__ == "__main__":
