@@ -175,10 +175,14 @@ class Config:
     # for raw 768-d bag pooling on TPU (clip/concat/wMask baselines), OFF
     # for the flagship's fused streams; True/False force either path.
     use_pallas: Any = "auto"
-    # CT-trunk rematerialisation: 'all' | 'early' (stages 1-2 only; stages
-    # 3-4 activations are small enough to store) | 'none'.  Measured at full
-    # size on v5e: 'early' 10.6 GiB / 1294 ms vs 'all' 12.9 GiB / 1312 ms.
-    ct_remat: str = "early"
+    # CT-trunk rematerialisation: 'all' | 'early' (stages 1-2) | 'layer2'
+    # (stage 2 only) | 'none'.  Measured at full size on v5e with the dfold
+    # temporal lowering (BENCH_NOTES r2): train step 384 ms 'early' /
+    # 346 ms 'layer2' / 337 ms 'none' at batch 1; 'layer2' is the default
+    # trade: layer1's recompute is the expensive one (store its activations
+    # instead), while rematting the cheap-to-recompute layer2 keeps memory
+    # headroom for batch>1.
+    ct_remat: str = "layer2"
     # Temporal (kD>1) conv lowering in the CT trunk: 'conv3d' keeps XLA's
     # native 3-D convolution; 'dfold' / 'dsum' compute the identical op as
     # depth-folded 2-D convs (models/ct_mc3.py::DepthFoldedConv) to ride

@@ -20,6 +20,24 @@ import jax
 import jax.numpy as jnp
 
 
+def halo_pad_depth(x, pd: int, axis_name: str):
+    """Depth-axis halo exchange replacing ``jnp.pad(..., pd)`` under a
+    ``shard_map`` whose ``axis_name`` shards the depth (D) axis.
+
+    Each shard receives ``pd`` boundary slices from its mesh neighbours via
+    ``ppermute``; the chain ends receive zeros (ppermute's semantics for
+    absent sources), which is exactly the zero padding the unsharded conv
+    applies at the physical volume boundary — so sharded and unsharded
+    numerics are identical.  x: (B, D_local, H, W, C) → D_local + 2·pd.
+    """
+    n = jax.lax.axis_size(axis_name)
+    left = jax.lax.ppermute(x[:, -pd:], axis_name,
+                            [(i, i + 1) for i in range(n - 1)])
+    right = jax.lax.ppermute(x[:, :pd], axis_name,
+                             [(i + 1, i) for i in range(n - 1)])
+    return jnp.concatenate([left, x, right], axis=1)
+
+
 def im2col_conv(x, kernel, bias, strides, padding):
     """Low-channel 3-D conv as patches + matmul.
 
@@ -43,13 +61,18 @@ def im2col_conv(x, kernel, bias, strides, padding):
 
 class LowChannelConv3D(nn.Module):
     """nn.Conv-compatible module (same param shapes) computing the forward
-    via :func:`im2col_conv` — for 1-3-channel stems on big volumes."""
+    via :func:`im2col_conv` — for 1-3-channel stems on big volumes.
+
+    ``shard_axis``: mesh axis name sharding the depth dim (inside a
+    shard_map) — boundary slices arrive by halo exchange instead of the
+    depth zero-padding, keeping numerics identical to unsharded."""
     features: int
     kernel: tuple
     stride: tuple
     padding: tuple            # ((lo,hi),)*3
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -58,8 +81,16 @@ class LowChannelConv3D(nn.Module):
                        (*self.kernel, cin, self.features))
         b = (self.param("bias", nn.initializers.zeros, (self.features,))
              if self.use_bias else None)
-        return im2col_conv(x.astype(self.dtype), k.astype(self.dtype), b,
-                           self.stride, self.padding)
+        x = x.astype(self.dtype)
+        padding = self.padding
+        if self.shard_axis is not None:
+            pd = self.padding[0][0]
+            assert self.stride[0] == 1 and self.kernel[0] == 2 * pd + 1, (
+                "depth sharding needs stride-1, centred depth kernels")
+            if pd:
+                x = halo_pad_depth(x, pd, self.shard_axis)
+            padding = ((0, 0),) + tuple(self.padding[1:])
+        return im2col_conv(x, k.astype(self.dtype), b, self.stride, padding)
 
 
 class DepthFoldedConv(nn.Module):
@@ -83,6 +114,7 @@ class DepthFoldedConv(nn.Module):
     mode: str = "dfold"
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -95,9 +127,15 @@ class DepthFoldedConv(nn.Module):
         b_ = (self.param("bias", nn.initializers.zeros, (self.features,))
               if self.use_bias else None)
         b, d, h, w, _ = x.shape
-        xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0))) \
-            if pd else x
-        dout = (d + 2 * pd - kd) // sd + 1
+        if self.shard_axis is not None:
+            assert sd == 1 and kd == 2 * pd + 1, (
+                "depth sharding needs stride-1, centred depth kernels")
+            xp = halo_pad_depth(x, pd, self.shard_axis) if pd else x
+            dout = d
+        else:
+            xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0))) \
+                if pd else x
+            dout = (d + 2 * pd - kd) // sd + 1
         span = sd * (dout - 1) + 1
         dt = self.dtype
         k = k.astype(dt)
@@ -132,6 +170,7 @@ class _ConvBN(nn.Module):
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "conv3d"   # 'conv3d' | 'dfold' | 'dsum'
+    shard_axis: str | None = None   # depth-sharding mesh axis (sp_ct)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -140,7 +179,21 @@ class _ConvBN(nn.Module):
             x = DepthFoldedConv(self.features, self.kernel, self.stride,
                                 self.padding, mode=self.temporal_mode,
                                 use_bias=self.use_bias, dtype=self.dtype,
+                                shard_axis=self.shard_axis,
                                 name="conv")(x)
+        elif (len(self.kernel) == 3 and self.kernel[0] > 1
+                and self.shard_axis is not None):
+            # sharded 'conv3d' temporal path: halo-exchange the depth
+            # boundary, then conv with no depth padding
+            pd = self.padding[0]
+            assert self.stride[0] == 1 and self.kernel[0] == 2 * pd + 1, (
+                "depth sharding needs stride-1, centred depth kernels")
+            y = halo_pad_depth(x, pd, self.shard_axis) if pd else x
+            x = nn.Conv(self.features, self.kernel, self.stride,
+                        padding=((0, 0),) + tuple(
+                            (p, p) for p in self.padding[1:]),
+                        use_bias=self.use_bias, dtype=self.dtype,
+                        name="conv")(y)
         elif (len(self.kernel) == 3 and self.kernel[0] == 1
                 and self.stride[0] == 1 and self.padding[0] == 0):
             # depth-independent (1, kH, kW) conv: fold D into batch and run
@@ -161,7 +214,8 @@ class _ConvBN(nn.Module):
                         use_bias=self.use_bias, dtype=self.dtype,
                         name="conv")(x)
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+                            epsilon=1e-5, dtype=self.dtype,
+                            axis_name=self.shard_axis, name="bn")(x)
 
 
 class BasicBlock3D(nn.Module):
@@ -172,6 +226,7 @@ class BasicBlock3D(nn.Module):
     temporal: bool = True
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "conv3d"
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -182,13 +237,16 @@ class BasicBlock3D(nn.Module):
             s = (1, self.stride, self.stride)
             p = (0, 1, 1)
         y = _ConvBN(self.features, k, s, p, dtype=self.dtype,
-                    temporal_mode=self.temporal_mode, name="conv1")(x, train)
+                    temporal_mode=self.temporal_mode,
+                    shard_axis=self.shard_axis, name="conv1")(x, train)
         y = nn.relu(y)
         y = _ConvBN(self.features, k, (1, 1, 1), p, dtype=self.dtype,
-                    temporal_mode=self.temporal_mode, name="conv2")(y, train)
+                    temporal_mode=self.temporal_mode,
+                    shard_axis=self.shard_axis, name="conv2")(y, train)
         if x.shape[-1] != self.features or self.stride != 1:
             x = _ConvBN(self.features, (1, 1, 1), s, (0, 0, 0),
-                        dtype=self.dtype, name="downsample")(x, train)
+                        dtype=self.dtype, shard_axis=self.shard_axis,
+                        name="downsample")(x, train)
         return nn.relu(x + y)
 
 
@@ -201,9 +259,11 @@ class VideoResNetFeatures(nn.Module):
     layers: Sequence[int] = (2, 2, 2, 2)
     channels: Sequence[int] = (64, 128, 256, 512)
     temporal_layers: Sequence[bool] = (True, False, False, False)
-    remat: str | bool = True     # True/'all' | 'early' (stages 1-2) | False
+    remat: str | bool = True     # True/'all' | 'early' (stages 1-2) |
+                                 # 'layer2' (stage 2 only) | False
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "conv3d"
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -211,17 +271,20 @@ class VideoResNetFeatures(nn.Module):
         x = nn.relu(_ConvBN(64, (3, 7, 7), (1, 2, 2), (1, 3, 3),
                             dtype=self.dtype,
                             temporal_mode=self.temporal_mode,
+                            shard_axis=self.shard_axis,
                             name="stem")(x, train))
         remat_block = nn.remat(BasicBlock3D, static_argnums=(2,))
         for i, (n_blocks, feats, temporal) in enumerate(
                 zip(self.layers, self.channels, self.temporal_layers)):
             use_remat = (self.remat in (True, "all")
-                         or (self.remat == "early" and i < 2))
+                         or (self.remat == "early" and i < 2)
+                         or (self.remat == "layer2" and i == 1))
             block = remat_block if use_remat else BasicBlock3D
             for b in range(n_blocks):
                 stride = 2 if (i > 0 and b == 0) else 1
                 x = block(feats, stride, temporal, self.dtype,
                           temporal_mode=self.temporal_mode,
+                          shard_axis=self.shard_axis,
                           name=f"layer{i + 1}_{b}")(x, train)
         return x
 
@@ -237,19 +300,33 @@ class ResnetMC3_18(nn.Module):
     remat: str | bool = True
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "conv3d"
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.spacing_xy == 2.0:
-            k, s, p = (3, 3, 3), (1, 1, 1), ((1, 1), (1, 1), (1, 1))
+            k, s = (3, 3, 3), (1, 1, 1)
         else:
             # kernel (3,4,4), stride (1,2,2), padding 1 → floor((H-2)/2)+1
-            k, s, p = (3, 4, 4), (1, 2, 2), ((1, 1), (1, 1), (1, 1))
-        x = LowChannelConv3D(3, k, s, p, use_bias=True, dtype=self.dtype,
-                             name="downsampling")(x)
+            k, s = (3, 4, 4), (1, 2, 2)
+        if self.temporal_mode != "conv3d":
+            # depth-folded 2-D lowering: 15x faster bwd and 6x less HBM
+            # than the im2col form at (160,512,512) (BENCH_NOTES r2,
+            # scripts/bench_downsample.py); identical param tree
+            x = DepthFoldedConv(3, k, s, (1, 1, 1),
+                                mode=self.temporal_mode, use_bias=True,
+                                dtype=self.dtype,
+                                shard_axis=self.shard_axis,
+                                name="downsampling")(x)
+        else:
+            x = LowChannelConv3D(3, k, s, ((1, 1), (1, 1), (1, 1)),
+                                 use_bias=True, dtype=self.dtype,
+                                 shard_axis=self.shard_axis,
+                                 name="downsampling")(x)
         return VideoResNetFeatures(
             remat=self.remat, dtype=self.dtype,
-            temporal_mode=self.temporal_mode, name="trunk")(x, train)
+            temporal_mode=self.temporal_mode, shard_axis=self.shard_axis,
+            name="trunk")(x, train)
 
 
 class MedicalNetFeatures(nn.Module):

@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--eval", action="store_true",
                    help="benchmark inference instead of training")
+    p.add_argument("--remat", default="layer2",
+                   help="ct_remat: all|early|layer2|none")
     ns = p.parse_args(argv)
 
     import jax
@@ -45,8 +47,8 @@ def main(argv=None):
                  aggregator="TransMIL", loss_point="CT-Pth-Last",
                  loss="BCE+textCosSim", spacing=[0.6869, 0.6869, 3.0],
                  ct_shape=[ns.depth, ns.hw, ns.hw], ct_hw_override=ns.hw,
-                 compute_dtype="bfloat16", learnablePrompt=1, n_ctx=8, ct_remat="early",
-                 batch_size=ns.batch)
+                 compute_dtype="bfloat16", learnablePrompt=1, n_ctx=8,
+                 ct_remat=ns.remat, batch_size=ns.batch)
     model = build_model(cfg)
     rs = np.random.RandomState(0)
     b = ns.batch
