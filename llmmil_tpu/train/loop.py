@@ -69,30 +69,51 @@ def run_epoch(step_fn, state, loader, mesh, rng, epoch: int, cfg: Config,
                              f"Epoch: [{epoch}]")
     term_meters: Dict[str, AverageMeter] = {}
     all_probs, all_labels = [], []
+    pending = []                 # device-side metrics, drained lazily
+
+    def drain():
+        # fetching scalars forces a host<->device sync (~30 ms through the
+        # tunnel); batching the fetches every ``log_every`` steps lets XLA
+        # pipeline the dispatches instead of stalling once per batch
+        for n_, m_, label_ in pending:
+            losses.update(float(m_["loss"]), n_)
+            accs.update(float(m_["acc"]), n_)
+            for k in ("loss_CT", "loss_Pth", "loss_Last", "loss_CosSim"):
+                if k in m_:
+                    term_meters.setdefault(
+                        k, AverageMeter(k, ":.4e")).update(float(m_[k]), n_)
+            all_probs.append(np.asarray(m_["probs"]))
+            all_labels.append(np.asarray(label_))
+        pending.clear()
+
+    epoch_start = time.time()
     end = time.time()
+    n_batches = 0
     for i, batch in enumerate(loader):
         data_time.update(time.time() - end)
         n = batch["label"].shape[0]
+        n_batches += 1
         db = _device_batch(batch, mesh)
         if train:
             state, metrics = step_fn(state, db, rng)
         else:
             metrics = step_fn(state, db)
-        losses.update(float(metrics["loss"]), n)
-        accs.update(float(metrics["acc"]), n)
-        for k in ("loss_CT", "loss_Pth", "loss_Last", "loss_CosSim"):
-            if k in metrics:
-                term_meters.setdefault(k, AverageMeter(k, ":.4e")).update(
-                    float(metrics[k]), n)
-        all_probs.append(np.asarray(metrics["probs"]))
-        all_labels.append(np.asarray(batch["label"]))
+        pending.append((n, metrics, batch["label"]))
         batch_time.update(time.time() - end)
         end = time.time()
         if i % cfg.log_every == 0:
+            drain()
             progress.display(i)
+    drain()
 
     em = _epoch_metrics(all_probs, all_labels, cfg.num_classes)
     em["loss"] = losses.avg
+    # throughput observability (the reference only prints per-batch meters,
+    # SURVEY §5) — epoch wall-clock step time and samples/s in the scalars
+    wall = time.time() - epoch_start
+    if n_batches:
+        em["step_ms"] = 1e3 * wall / n_batches
+        em["samples_per_s"] = losses.count / wall if wall else 0.0
     for k, m in term_meters.items():
         em[k] = m.avg
     if writer is not None:
