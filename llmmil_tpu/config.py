@@ -184,7 +184,7 @@ class Config:
     # headroom for batch>1.
     ct_remat: str = "layer2"
     # Temporal (kD>1) conv lowering in the CT trunk: 'conv3d' keeps XLA's
-    # native 3-D convolution; 'dfold' / 'dsum' compute the identical op as
+    # native 3-D convolution; 'dfold' / 'dsum' / 'dshift' compute the identical op as
     # depth-folded 2-D convs (models/ct_mc3.py::DepthFoldedConv) to ride
     # TPU's better-tuned 2-D conv gradient paths.  Measured at production
     # size on v5e (BENCH_NOTES r2): CT-trunk grad 1075 ms (8.0% MFU) conv3d

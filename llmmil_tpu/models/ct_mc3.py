@@ -105,7 +105,12 @@ class DepthFoldedConv(nn.Module):
     - ``dfold``: concat the kD depth-shifted views on channels, ONE 2-D conv
       with kD*C input channels (deepest MXU contraction; kD x activation
       materialisation);
-    - ``dsum``: kD separate 2-D convs summed (no activation blowup).
+    - ``dsum``: kD separate 2-D convs summed (no activation blowup);
+    - ``dshift``: ONE 2-D conv over ALL padded slices with kD*F OUTPUT
+      channels (the per-tap kernels stacked on cout), then kD shifted
+      slab adds.  The TPU conv emitters' efficiency tracks cout width
+      (measured: cout 64 -> 21% MFU, 128 -> 47%, 512 -> 82%), so widening
+      cout 64 -> 192 in MC3's layer1 is the fastest form.
     """
     features: int
     kernel: tuple          # (kD, kH, kW), kD > 1
@@ -152,6 +157,19 @@ class DepthFoldedConv(nn.Module):
             w2 = jnp.transpose(k, (1, 2, 0, 3, 4)).reshape(
                 kh, kw, kd * cin, self.features)
             out = conv2d(y, w2)
+        elif self.mode == "dshift":
+            # one wide conv over every padded slice, cout = kd*F, then the
+            # kd depth-shifted slabs sum:  out[do] = Σ_i y[do·sd + i, i·F:]
+            dp = xp.shape[1]
+            w2 = jnp.transpose(k, (1, 2, 3, 0, 4)).reshape(
+                kh, kw, cin, kd * self.features)
+            y = conv2d(xp.reshape(b * dp, h, w, cin), w2)
+            y = y.reshape(b, dp, *y.shape[1:])
+            f = self.features
+            out = y[:, 0:span:sd, :, :, 0:f]
+            for i in range(1, kd):
+                out = out + y[:, i:i + span:sd, :, :, i * f:(i + 1) * f]
+            out = out.reshape(b * dout, *out.shape[2:])
         else:                                          # dsum
             out = conv2d(xp[:, 0:span:sd].reshape(b * dout, h, w, cin), k[0])
             for i in range(1, kd):
@@ -169,7 +187,7 @@ class _ConvBN(nn.Module):
     padding: tuple
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
-    temporal_mode: str = "conv3d"   # 'conv3d' | 'dfold' | 'dsum'
+    temporal_mode: str = "conv3d"   # 'conv3d'|'dfold'|'dsum'|'dshift'
     shard_axis: str | None = None   # depth-sharding mesh axis (sp_ct)
 
     @nn.compact

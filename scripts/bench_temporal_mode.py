@@ -8,7 +8,7 @@ CT-trunk backward at ~8% MFU; MC3's only true 3-D convs are the stem
 script decides which lowering wins at production size.
 
 Usage: python scripts/bench_temporal_mode.py [--depth 160] [--hw 512]
-         [--iters 8] [--modes conv3d dfold dsum] [--small]
+         [--iters 8] [--modes conv3d dfold dsum dshift] [--small]
 """
 import argparse
 import os
@@ -28,7 +28,7 @@ def main(argv=None):
     p.add_argument("--hw", type=int, default=512)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--modes", nargs="+",
-                   default=["conv3d", "dfold", "dsum"])
+                   default=["conv3d", "dfold", "dsum", "dshift"])
     p.add_argument("--remat", default="early")
     p.add_argument("--small", action="store_true")
     ns = p.parse_args(argv)

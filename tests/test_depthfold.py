@@ -28,7 +28,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("mode", ["dfold", "dsum"])
+@pytest.mark.parametrize("mode", ["dfold", "dsum", "dshift"])
 @pytest.mark.parametrize("kernel,stride,padding", CASES)
 def test_depthfold_matches_native(mode, kernel, stride, padding):
     rng = np.random.default_rng(0)
@@ -42,7 +42,7 @@ def test_depthfold_matches_native(mode, kernel, stride, padding):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("mode", ["dfold", "dsum"])
+@pytest.mark.parametrize("mode", ["dfold", "dsum", "dshift"])
 def test_depthfold_gradients_match_native(mode):
     kernel, stride, padding = (3, 3, 3), (1, 1, 1), (1, 1, 1)
     rng = np.random.default_rng(2)
@@ -65,7 +65,7 @@ def test_depthfold_gradients_match_native(mode):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("mode", ["dfold", "dsum"])
+@pytest.mark.parametrize("mode", ["dfold", "dsum", "dshift"])
 def test_mc3_temporal_mode_same_params_same_output(mode):
     """Same param tree, same numerics: a conv3d-trained checkpoint must be
     loadable and equivalent under any temporal_mode."""
