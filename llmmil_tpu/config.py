@@ -175,6 +175,13 @@ class Config:
     # for raw 768-d bag pooling on TPU (clip/concat/wMask baselines), OFF
     # for the flagship's fused streams; True/False force either path.
     use_pallas: Any = "auto"
+    # Instance (sequence) parallelism for raw-bag gated-attention pooling:
+    # name of the mesh axis sharding the bag's instance dim.  Empty = off.
+    # Use with parallel/sp_mil.py::instance_sharded_apply; the ABMIL softmax
+    # then runs the cross-shard two-pass (pmax/psum over ICI) — exact vs
+    # single-device.  Applies to the clip/concat/wMask baseline families
+    # (the flagship pools fused streams, not the raw bag).
+    bag_shard_axis: str = ""
     # CT-trunk rematerialisation: 'all' | 'early' (stages 1-2) | 'layer2'
     # (stage 2 only) | 'none'.  Measured at full size on v5e with the dfold
     # temporal lowering (BENCH_NOTES r2): train step 384 ms 'early' /

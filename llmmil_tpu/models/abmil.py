@@ -19,14 +19,23 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.mil import gated_attention_pool
+from ..ops.mil import gated_attention_logits, gated_attention_pool
 from ..ops.pallas import mil_pool
+
+NEG_INF = -1e30
 
 
 class ABMIL(nn.Module):
     """A = w(tanh(Vx) ⊙ σ(Ux)); M = softmax(A)ᵀ x.
 
     Returns (M, A): pooled (B, K, L) features and (B, K, N) attention.
+
+    ``shard_axis``: mesh axis name sharding the INSTANCE axis (inside a
+    ``shard_map``) — the softmax runs as the cross-shard two-pass
+    (pmax → psum over ICI, ``parallel/sp_mil.py``'s schedule), exact vs
+    the single-device pool; the returned attention covers the LOCAL
+    instance shard.  This makes million-instance bags trainable across
+    chips — the reference is single-device by construction (SURVEY §5).
     """
     L: int = 768
     D: int = 192
@@ -34,6 +43,7 @@ class ABMIL(nn.Module):
     dropout: float = 0.5
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -48,6 +58,23 @@ class ABMIL(nn.Module):
         bw = self.param("w_bias", zeros, (self.K,))
 
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.shard_axis is not None and self.K == 1:
+            xd = x.astype(self.dtype)
+            m = (mask if mask is not None
+                 else jnp.ones(x.shape[:2], bool))
+            xz = jnp.where(m[..., None], xd, 0.0)
+            a = gated_attention_logits(xz, wv.astype(self.dtype), bv,
+                                       wu, bu, ww, bw)[..., 0]   # (B, Nl)
+            a = jnp.where(m, a, NEG_INF)
+            # softmax is shift-invariant: the global max needs no gradient
+            gmax = jax.lax.pmax(
+                jax.lax.stop_gradient(jnp.max(a, axis=1)), self.shard_axis)
+            e = jnp.where(m, jnp.exp(a - gmax[:, None]), 0.0)
+            s = jax.lax.psum(jnp.sum(e, axis=1), self.shard_axis)
+            num = jax.lax.psum(jnp.einsum("bn,bnl->bl", e, xz),
+                               self.shard_axis)
+            denom = jnp.maximum(s, 1e-30)[:, None]
+            return (num / denom)[:, None, :], (e / denom)[:, None, :]
         if self.use_pallas and mask is not None and self.K == 1:
             # feed the kernel the compute dtype (bf16 on TPU): its gate
             # GEMMs run at the MXU's native rate in the bag's dtype

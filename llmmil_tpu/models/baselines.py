@@ -63,6 +63,7 @@ class AggregatorClip(nn.Module):
             pooled, _ = ABMIL(L=EMBED_DIM, dtype=self.dtype,
                               use_pallas=resolve_use_pallas(
                                   c.use_pallas, raw_bag=True),
+                              shard_axis=c.bag_shard_axis or None,
                               name="extractor_pathology")(
                 tokens, batch.get("mask_pathology"), train)
             feats["pathology"] = jnp.tanh(nn.Dense(
@@ -163,6 +164,7 @@ class AggregatorWMask(nn.Module):
                 pooled, _ = ABMIL(L=768, dtype=dt,
                                   use_pallas=resolve_use_pallas(
                                       c.use_pallas, raw_bag=True),
+                                  shard_axis=c.bag_shard_axis or None,
                                   name="extractor_pathology")(
                     bag, pmask, train)
                 pooled = pooled[:, 0]
@@ -207,6 +209,7 @@ class AggregatorConcat(nn.Module):
             pooled, _ = ABMIL(L=768, dtype=self.dtype,
                               use_pallas=resolve_use_pallas(
                                   c.use_pallas, raw_bag=True),
+                              shard_axis=c.bag_shard_axis or None,
                               name="extractor_pathology")(
                 batch["input_pathology"], batch.get("mask_pathology"),
                 train)

@@ -1,12 +1,14 @@
 from .mesh import (make_mesh, shard_batch, replicate, batch_sharding,
                    replicated_sharding)
 from .sampler import ShardedEpochSampler
-from .sp_mil import sharded_mil_pool, shard_bag
+from .sp_mil import (sharded_mil_pool, shard_bag,
+                     instance_sharded_apply)
 from .sp_ct import depth_sharded_ct, shard_volume
 from .multihost import initialize_from_args, is_primary, global_device_mesh
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding",
            "replicated_sharding", "ShardedEpochSampler",
-           "sharded_mil_pool", "shard_bag", "depth_sharded_ct",
+           "sharded_mil_pool", "shard_bag", "instance_sharded_apply",
+           "depth_sharded_ct",
            "shard_volume", "initialize_from_args", "is_primary",
            "global_device_mesh"]

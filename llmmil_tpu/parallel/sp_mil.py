@@ -66,3 +66,34 @@ def shard_bag(x, mask, mesh: Mesh, axis: str = "data"):
     xs = jax.device_put(x, NamedSharding(mesh, P(None, axis, None)))
     ms = jax.device_put(mask, NamedSharding(mesh, P(None, axis)))
     return xs, ms
+
+
+def instance_sharded_apply(model, mesh: Mesh, axis: str = "inst"):
+    """Run a raw-bag baseline model with the bag's INSTANCE axis sharded.
+
+    ``model`` must be built with ``Config.bag_shard_axis == axis`` (its
+    ABMIL pooling then uses the cross-shard two-pass softmax above).
+    Returns ``apply(variables, batch, train=False, rngs=None)`` where
+    ``batch['input_pathology']`` / ``'mask_pathology']`` carry the GLOBAL
+    instance axis (divisible by the axis size); every other batch entry
+    and all outputs are replicated.  Exact vs the unsharded model
+    (tests/test_sp_mil.py).
+    """
+    n = mesh.shape[axis]
+
+    def apply(variables, batch, train: bool = False, rngs=None):
+        nb = batch["input_pathology"].shape[1]
+        if nb % n:
+            raise ValueError(f"bag instance axis {nb} not divisible by "
+                             f"mesh axis '{axis}' size {n}")
+        specs = {k: (P(None, axis) if k in ("input_pathology",
+                                            "mask_pathology") else P())
+                 for k in batch}
+
+        def body(v, b):
+            return model.apply(v, b, train=train, rngs=rngs)
+
+        return jax.shard_map(body, mesh=mesh, in_specs=(P(), specs),
+                             out_specs=P())(variables, batch)
+
+    return apply

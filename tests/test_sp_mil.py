@@ -57,3 +57,69 @@ def test_sharded_pool_grads_flow():
     g_ref = jax.grad(loss_ref)(params[0])
     np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
                                atol=1e-5)
+
+
+def test_instance_sharded_model_matches_unsharded():
+    """AggregatorClip with the bag's instance axis 8-way sharded: probs,
+    features, and parameter grads must match the single-device model."""
+    from llmmil_tpu.config import Config
+    from llmmil_tpu.models import build_model
+    from llmmil_tpu.parallel.sp_mil import instance_sharded_apply
+
+    cfg = Config(modality=["pathology", "CI"], model_CI="simpleFCs_v1",
+                 CI_input_version="v1", model_family="clip",
+                 aggregator="ABMIL", compute_dtype="float32",
+                 use_pallas=False)
+    rs = np.random.RandomState(0)
+    B, N = 2, 256
+    batch = {"input_pathology": jnp.asarray(rs.randn(B, N, 768),
+                                            jnp.float32),
+             "mask_pathology": jnp.asarray(
+                 np.arange(N)[None] < np.array([[200], [N]])),
+             "input_CI": jnp.asarray(rs.rand(B, 9), jnp.float32),
+             "label": jnp.asarray(np.eye(2)[rs.randint(0, 2, B)],
+                                  jnp.float32)}
+
+    ref_model = build_model(cfg)
+    variables = ref_model.init(jax.random.PRNGKey(0), batch)
+    want = ref_model.apply(variables, batch, train=False)
+
+    mesh = make_mesh((8,), ("inst",))
+    sp_model = build_model(cfg.replace(bag_shard_axis="inst"))
+    apply = instance_sharded_apply(sp_model, mesh, axis="inst")
+    got = apply(variables, batch, train=False)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
+
+    def loss_ref(p):
+        out = ref_model.apply({"params": p}, batch, train=False)
+        return jnp.sum(out["probs"] ** 2)
+
+    def loss_sp(p):
+        out = apply({"params": p}, batch, train=False)
+        return jnp.sum(out["probs"] ** 2)
+
+    g_ref = jax.grad(loss_ref)(variables["params"])
+    g_sp = jax.grad(loss_sp)(variables["params"])
+    for (pr, lr), (ps, ls) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_sp)):
+        assert pr == ps
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(lr),
+                                   atol=2e-5, rtol=1e-4, err_msg=str(pr))
+
+
+def test_instance_sharded_indivisible_raises():
+    from llmmil_tpu.config import Config
+    from llmmil_tpu.models import build_model
+    from llmmil_tpu.parallel.sp_mil import instance_sharded_apply
+
+    cfg = Config(modality=["pathology"], model_family="clip",
+                 aggregator="ABMIL", bag_shard_axis="inst",
+                 use_pallas=False)
+    mesh = make_mesh((8,), ("inst",))
+    apply = instance_sharded_apply(build_model(cfg), mesh, axis="inst")
+    batch = {"input_pathology": jnp.zeros((1, 100, 768), jnp.float32)}
+    with pytest.raises(ValueError, match="divisible"):
+        apply({"params": {}}, batch)
