@@ -57,8 +57,23 @@ class ABMIL(nn.Module):
         ww = self.param("w_kernel", init, (self.D, self.K))
         bw = self.param("w_bias", zeros, (self.K,))
 
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        if self.shard_axis is not None and self.K == 1:
+        if self.shard_axis is not None and self.K != 1:
+            raise ValueError(
+                "ABMIL shard_axis requires K == 1: the cross-shard "
+                "two-pass softmax is single-head, and falling through to "
+                "the unsharded pool inside shard_map would compute a "
+                "per-shard-normalized softmax")
+        drop_rng = None
+        if self.shard_axis is not None and train and self.dropout > 0.0:
+            # inside shard_map the 'dropout' rng is replicated across the
+            # instance shards; fold the shard index in so each shard draws
+            # an independent mask (matching the unsharded model's i.i.d.
+            # dropout over all N instances)
+            drop_rng = jax.random.fold_in(
+                self.make_rng("dropout"),
+                jax.lax.axis_index(self.shard_axis))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x, rng=drop_rng)
+        if self.shard_axis is not None:
             xd = x.astype(self.dtype)
             m = (mask if mask is not None
                  else jnp.ones(x.shape[:2], bool))

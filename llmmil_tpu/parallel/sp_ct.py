@@ -80,6 +80,11 @@ def flagship_ct_features(cfg, variables, x, mesh: Mesh,
     numerics are identical to the in-model extractor, so batch-1 serving
     latency (the reference's timed metric, test_ddp.py:214-234) scales
     with the mesh while everything else stays unchanged.
+
+    ``train=True`` runs BatchNorm in train mode (batch stats, synced over
+    the depth group) and returns ``(features, updated_vars)`` where
+    ``updated_vars['batch_stats']`` is the extractor's updated (replicated)
+    stats subtree; ``train=False`` returns just the features.
     """
     import jax.numpy as jnp
 
@@ -95,4 +100,5 @@ def flagship_ct_features(cfg, variables, x, mesh: Mesh,
     sub = {coll: tree["extractor_CT"] for coll, tree in variables.items()
            if "extractor_CT" in tree}
     return depth_sharded_ct(ext, mesh, axis)(
-        sub, shard_volume(x, mesh, axis), train=train)
+        sub, shard_volume(x, mesh, axis), train=train,
+        mutable=["batch_stats"] if train else False)

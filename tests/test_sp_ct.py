@@ -154,3 +154,121 @@ def test_flagship_ct_features_rejects_non_mc3():
     mesh = make_mesh((8,), ("depth",))
     with pytest.raises(ValueError, match="MC3"):
         flagship_ct_features(cfg, {"params": {}}, None, mesh)
+
+
+def test_flagship_ct_features_train_mode():
+    """ADVICE r2: flagship_ct_features(train=True) must run train-mode BN
+    (mutable batch_stats threaded through shard_map) and return
+    (features, updated_vars) matching the unsharded extractor."""
+    from llmmil_tpu.config import Config
+    from llmmil_tpu.models import build_model
+    from llmmil_tpu.models.aggregator import make_ct_extractor
+    from llmmil_tpu.parallel.sp_ct import flagship_ct_features
+
+    cfg = Config(modality=["CT", "pathology"], model_CT="resnetMC3_18",
+                 model_pathology="TransMIL", model_CI="CLIP",
+                 CI_input_version="text", aggregator="TransMIL",
+                 loss_point="CT-Pth-Last", spacing=[2.0, 2.0, 2.5],
+                 compute_dtype="float32", ct_temporal_mode="dfold",
+                 clip_vocab=64, clip_context=16, clip_width=32,
+                 clip_heads=4, clip_layers=1, clip_embed=16)
+    model = build_model(cfg)
+    rs = np.random.RandomState(0)
+    B, N = 1, 64
+    toks = rs.randint(1, cfg.clip_vocab - 2,
+                      (B, cfg.n_clinical + 1, cfg.clip_context))
+    toks[..., -1] = cfg.clip_vocab - 1
+    vol = jnp.asarray(rs.rand(B, 8, 32, 32, 1), jnp.float32)
+    batch = {"input_CT": vol,
+             "input_pathology": jnp.asarray(rs.randn(B, N, 768),
+                                            jnp.float32),
+             "mask_pathology": jnp.asarray(np.arange(N)[None] < 50),
+             "input_CI": jnp.asarray(toks, jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    sub = {coll: tree["extractor_CT"] for coll, tree in variables.items()
+           if "extractor_CT" in tree}
+    ext = make_ct_extractor(cfg, jnp.float32)
+    want, vars_w = ext.apply(sub, vol, train=True, mutable=["batch_stats"])
+
+    mesh = make_mesh((8,), ("depth",))
+    got, vars_g = flagship_ct_features(cfg, variables, vol, mesh,
+                                       train=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=1e-4)
+    flat_w = jax.tree_util.tree_leaves_with_path(vars_w["batch_stats"])
+    flat_g = jax.tree_util.tree_leaves_with_path(vars_g["batch_stats"])
+    assert len(flat_w) == len(flat_g) > 0
+    for (pw, lw), (pg, lg) in zip(flat_w, flat_g):
+        assert pw == pg
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(lw),
+                                   atol=1e-5, rtol=1e-4, err_msg=str(pw))
+
+
+def test_depth_sharded_train_step_matches_plain():
+    """VERDICT r2 #4: a flagship train step with the CT trunk depth-sharded
+    over a 2-D ('data','depth') mesh must produce the same params, metrics,
+    and BN stats as the plain (unsharded jit) step."""
+    from llmmil_tpu.config import Config
+    from llmmil_tpu.models import build_model
+    from llmmil_tpu.parallel import replicate, shard_batch
+    from llmmil_tpu.train import create_train_state, make_train_step
+
+    cfg = Config(modality=["CT", "pathology"], model_CT="resnetMC3_18",
+                 model_pathology="TransMIL", model_CI="CLIP",
+                 CI_input_version="text", aggregator="TransMIL",
+                 loss_point="CT-Pth-Last", loss="BCE+textCosSim",
+                 spacing=[2.0, 2.0, 2.5], learnablePrompt=1, n_ctx=8,
+                 compute_dtype="float32", ct_temporal_mode="dfold",
+                 clip_vocab=128, clip_context=16, clip_width=32,
+                 clip_heads=4, clip_layers=1, clip_embed=16)
+    model = build_model(cfg)
+    rs = np.random.RandomState(0)
+    B, N = 4, 64
+    toks = rs.randint(1, cfg.clip_vocab - 2,
+                      (B, cfg.n_clinical + 1, cfg.clip_context))
+    toks[..., -1] = cfg.clip_vocab - 1
+    batch = {"input_CT": jnp.asarray(rs.rand(B, 8, 16, 16, 1), jnp.float32),
+             "input_pathology": jnp.asarray(rs.randn(B, N, 768),
+                                            jnp.float32),
+             "mask_pathology": jnp.asarray(
+                 np.arange(N)[None] < rs.randint(N // 2, N, (B, 1))),
+             "input_CI": jnp.asarray(toks, jnp.int32),
+             "label": jnp.asarray(np.eye(2)[rs.randint(0, 2, B)],
+                                  jnp.float32)}
+    state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+
+    s0, m0 = make_train_step(cfg, donate=False)(state, batch, rng)
+
+    cfg2 = cfg.replace(ct_shard_axis="depth", mesh_shape=[-1, 2],
+                       mesh_axes=["data", "depth"])
+    mesh = make_mesh((4, 2), ("data", "depth"))
+    s1, m1 = make_train_step(cfg2, donate=False, mesh=mesh)(
+        replicate(state, mesh), shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               atol=1e-5, rtol=1e-5)
+    for tree0, tree1, atol, tag in ((s0.params, s1.params, 2e-5, "param"),
+                                    (s0.batch_stats, s1.batch_stats, 1e-5,
+                                     "bn")):
+        for (p0, l0), (p1, l1) in zip(
+                jax.tree_util.tree_leaves_with_path(tree0),
+                jax.tree_util.tree_leaves_with_path(tree1)):
+            assert p0 == p1
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                       atol=atol, rtol=1e-4,
+                                       err_msg=f"{tag} {p0}")
+
+
+def test_ct_shard_axis_requires_mesh_and_mc3():
+    from llmmil_tpu.config import Config
+    from llmmil_tpu.train import make_train_step
+
+    cfg = Config(modality=["CT"], model_CT="resnetMC3_18",
+                 ct_shard_axis="depth")
+    with pytest.raises(ValueError, match="mesh"):
+        make_train_step(cfg, donate=False)
+    mesh = make_mesh((8,), ("depth",))
+    cfg2 = cfg.replace(model_CT="medicalNet")
+    with pytest.raises(ValueError, match="MC3"):
+        make_train_step(cfg2, donate=False, mesh=mesh)

@@ -123,3 +123,44 @@ def test_instance_sharded_indivisible_raises():
     batch = {"input_pathology": jnp.zeros((1, 100, 768), jnp.float32)}
     with pytest.raises(ValueError, match="divisible"):
         apply({"params": {}}, batch)
+
+
+def test_abmil_shard_axis_requires_k1():
+    """ADVICE r2: shard_axis with K != 1 must fail loudly, not fall through
+    to a per-shard-normalized softmax."""
+    from llmmil_tpu.models.abmil import ABMIL
+
+    model = ABMIL(L=16, D=8, K=2, shard_axis="inst")
+    x = jnp.ones((1, 8, 16), jnp.float32)
+    with pytest.raises(ValueError, match="K == 1"):
+        model.init(jax.random.PRNGKey(0), x)
+
+
+def test_sharded_dropout_masks_differ_across_shards():
+    """ADVICE r2: inside shard_map each instance shard must draw an
+    independent dropout mask (shard index folded into the rng), matching
+    the unsharded model's i.i.d. dropout over all N instances."""
+    from jax.sharding import PartitionSpec as P
+    from llmmil_tpu.models.abmil import ABMIL
+
+    mesh = make_mesh((8,), ("inst",))
+    B, N, L = 1, 256, 32
+    x = jnp.ones((B, N, L), jnp.float32)   # identical rows: any att
+    mask = jnp.ones((B, N), bool)          # difference is dropout-driven
+    ref = ABMIL(L=L, D=16, K=1, dropout=0.5)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+    sp = ABMIL(L=L, D=16, K=1, dropout=0.5, shard_axis="inst")
+
+    def body(v, xl, ml):
+        _, att = sp.apply(v, xl, ml, True,
+                          rngs={"dropout": jax.random.PRNGKey(7)})
+        return att
+
+    att = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, "inst", None), P(None, "inst")),
+        out_specs=P(None, None, "inst"))(variables, x, mask)
+    blocks = np.asarray(att).reshape(8, N // 8)
+    for k in range(1, 8):
+        assert not np.allclose(blocks[0], blocks[k]), (
+            f"shard {k} drew the same dropout mask as shard 0")
