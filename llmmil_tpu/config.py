@@ -182,6 +182,17 @@ class Config:
     # single-device.  Applies to the clip/concat/wMask baseline families
     # (the flagship pools fused streams, not the raw bag).
     bag_shard_axis: str = ""
+    # Depth (context) parallelism for the CT trunk DURING TRAINING: name of
+    # the mesh axis sharding the volume's depth dim (must appear in
+    # mesh_axes, e.g. mesh_shape=[-1, 2], mesh_axes=['data','depth']).
+    # Empty = off.  The train step then runs the MC3 trunk inside a
+    # shard_map with halo-exchange depth convs (parallel/sp_ct.py's
+    # schedule) and BN stats synced over (data, depth) — params, metrics
+    # and BN stats match the DP-only step exactly (tests/test_sp_ct.py).
+    # The reference trains its CT trunk unsharded under DDP
+    # (train_ddp.py:79); this makes the beyond-reference sharding usable
+    # where that DDP actually runs.  MC3-family trunks only.
+    ct_shard_axis: str = ""
     # CT-trunk rematerialisation: 'all' | 'early' (stages 1-2) | 'layer2'
     # (stage 2 only) | 'none'.  Measured at full size on v5e with the dfold
     # temporal lowering (BENCH_NOTES r2): train step 384 ms 'early' /

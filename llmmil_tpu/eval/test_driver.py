@@ -52,8 +52,15 @@ def roc_curve_plot(labels, scores, out_png: Optional[str] = None):
 
 def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
              state=None, out_dir: Optional[str] = None,
-             mode: Optional[str] = None) -> Dict:
-    """Run inference over a loader; returns metrics + per-patient table."""
+             mode: Optional[str] = None, ct_depth_shard: int = 0) -> Dict:
+    """Run inference over a loader; returns metrics + per-patient table.
+
+    ``ct_depth_shard=N``: run CT feature extraction depth-sharded over an
+    N-device ('depth',) mesh (``parallel/sp_ct.py`` halo-exchange context
+    parallelism) — the beyond-reference path that scales the reference's
+    timed batch-1 metric (test_ddp.py:214-234) with chips.  Numerically
+    identical to the unsharded path (tests/test_eval_depth_shard.py).
+    """
     mode = mode or cfg.mode
     model = build_model(cfg)
     if state is None:
@@ -66,12 +73,24 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
             state, _ = ckpt_lib.resume(state, checkpoint_path)
             print(f"=> loaded checkpoint '{checkpoint_path}'")
 
+    mesh = None
+    if ct_depth_shard:
+        from ..parallel import make_mesh
+        from ..parallel.sp_ct import flagship_ct_features  # noqa: F401
+        mesh = make_mesh((ct_depth_shard,), ("depth",))
+
     @jax.jit
     def forward(params, batch_stats, batch):
         variables = {"params": params}
         if batch_stats is not None and jax.tree_util.tree_leaves(
                 batch_stats):
             variables["batch_stats"] = batch_stats
+        if mesh is not None and "input_CT" in batch:
+            from ..parallel.sp_ct import flagship_ct_features
+            feat = flagship_ct_features(cfg, variables, batch["input_CT"],
+                                        mesh)
+            batch = {k: v for k, v in batch.items() if k != "input_CT"}
+            batch = dict(batch, ct_features=feat)
         return model.apply(variables, batch, train=False)["probs"]
 
     def shape_key(db):

@@ -189,6 +189,11 @@ class _ConvBN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "conv3d"   # 'conv3d'|'dfold'|'dsum'|'dshift'
     shard_axis: str | None = None   # depth-sharding mesh axis (sp_ct)
+    bn_axes: tuple | None = None    # BN sync axes; None → (shard_axis,).
+                                    # Depth-sharded TRAINING under a 2-D
+                                    # ('data','depth') shard_map syncs BN
+                                    # over BOTH axes so stats equal the
+                                    # global-batch DP step's (train/step.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -231,9 +236,11 @@ class _ConvBN(nn.Module):
                         padding=tuple((p, p) for p in self.padding),
                         use_bias=self.use_bias, dtype=self.dtype,
                         name="conv")(x)
+        bn_axes = (self.bn_axes if self.bn_axes is not None
+                   else self.shard_axis)
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=self.dtype,
-                            axis_name=self.shard_axis, name="bn")(x)
+                            axis_name=bn_axes, name="bn")(x)
 
 
 class BasicBlock3D(nn.Module):
@@ -245,6 +252,7 @@ class BasicBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "conv3d"
     shard_axis: str | None = None
+    bn_axes: tuple | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -256,15 +264,17 @@ class BasicBlock3D(nn.Module):
             p = (0, 1, 1)
         y = _ConvBN(self.features, k, s, p, dtype=self.dtype,
                     temporal_mode=self.temporal_mode,
-                    shard_axis=self.shard_axis, name="conv1")(x, train)
+                    shard_axis=self.shard_axis, bn_axes=self.bn_axes,
+                    name="conv1")(x, train)
         y = nn.relu(y)
         y = _ConvBN(self.features, k, (1, 1, 1), p, dtype=self.dtype,
                     temporal_mode=self.temporal_mode,
-                    shard_axis=self.shard_axis, name="conv2")(y, train)
+                    shard_axis=self.shard_axis, bn_axes=self.bn_axes,
+                    name="conv2")(y, train)
         if x.shape[-1] != self.features or self.stride != 1:
             x = _ConvBN(self.features, (1, 1, 1), s, (0, 0, 0),
                         dtype=self.dtype, shard_axis=self.shard_axis,
-                        name="downsample")(x, train)
+                        bn_axes=self.bn_axes, name="downsample")(x, train)
         return nn.relu(x + y)
 
 
@@ -282,6 +292,7 @@ class VideoResNetFeatures(nn.Module):
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "conv3d"
     shard_axis: str | None = None
+    bn_axes: tuple | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -290,6 +301,7 @@ class VideoResNetFeatures(nn.Module):
                             dtype=self.dtype,
                             temporal_mode=self.temporal_mode,
                             shard_axis=self.shard_axis,
+                            bn_axes=self.bn_axes,
                             name="stem")(x, train))
         remat_block = nn.remat(BasicBlock3D, static_argnums=(2,))
         for i, (n_blocks, feats, temporal) in enumerate(
@@ -303,6 +315,7 @@ class VideoResNetFeatures(nn.Module):
                 x = block(feats, stride, temporal, self.dtype,
                           temporal_mode=self.temporal_mode,
                           shard_axis=self.shard_axis,
+                          bn_axes=self.bn_axes,
                           name=f"layer{i + 1}_{b}")(x, train)
         return x
 
@@ -319,6 +332,7 @@ class ResnetMC3_18(nn.Module):
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "conv3d"
     shard_axis: str | None = None
+    bn_axes: tuple | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -344,7 +358,7 @@ class ResnetMC3_18(nn.Module):
         return VideoResNetFeatures(
             remat=self.remat, dtype=self.dtype,
             temporal_mode=self.temporal_mode, shard_axis=self.shard_axis,
-            name="trunk")(x, train)
+            bn_axes=self.bn_axes, name="trunk")(x, train)
 
 
 class MedicalNetFeatures(nn.Module):

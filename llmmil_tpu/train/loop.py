@@ -167,7 +167,7 @@ def fit(cfg: Config, train_loader, valid_loader,
     # donate the incoming state: the loop rebinds it every step, and
     # donation lets XLA update params/opt-state in place (no extra copy
     # of the ~350 MB param set at production size)
-    train_step = make_train_step(cfg, donate=True)
+    train_step = make_train_step(cfg, donate=True, mesh=mesh)
     eval_step = make_eval_step(cfg)
 
     best_auc = 0.0

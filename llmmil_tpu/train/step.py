@@ -21,13 +21,55 @@ from .losses import multihead_loss
 from .state import TrainState
 
 
-def make_train_step(cfg: Config, donate: bool = True):
+def make_train_step(cfg: Config, donate: bool = True, mesh=None):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     ``batch`` must contain 'label' (B, num_classes) one-hot targets alongside
     the model inputs.  Dropout/crop PRNG keys are folded in from ``rng`` and
     the step counter.
+
+    ``cfg.ct_shard_axis`` + ``mesh``: depth-sharded (context-parallel) CT
+    training — the MC3 trunk runs inside a shard_map over the named mesh
+    axis with halo-exchange depth convs (parallel/sp_ct.py's schedule) and
+    BN stats pmean-synced over (data, depth); its features feed the rest of
+    the model through the ``ct_features`` path.  Exact vs the DP-only step
+    (tests/test_sp_ct.py).  The reference's DDP trains this trunk unsharded
+    on one GPU per sample (train_ddp.py:79).
     """
+    ct_axis = cfg.ct_shard_axis or None
+    ct_trunk = None
+    if ct_axis is not None:
+        if mesh is None or ct_axis not in mesh.axis_names:
+            raise ValueError(
+                f"ct_shard_axis={ct_axis!r} needs a mesh with that axis "
+                f"(got {None if mesh is None else mesh.axis_names})")
+        if not cfg.model_CT.startswith("resnetMC3"):
+            raise ValueError(
+                "ct_shard_axis supports the MC3 trunks (stride-1 depth "
+                f"axis), not model_CT={cfg.model_CT!r}")
+        from jax.sharding import PartitionSpec as P
+        from ..models.aggregator import make_ct_extractor
+        dtype = (jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype
+                 else jnp.float32)
+        data_axis = "data" if "data" in mesh.axis_names else None
+        ext = make_ct_extractor(cfg, dtype).clone(
+            shard_axis=ct_axis,
+            bn_axes=tuple(a for a in (data_axis, ct_axis) if a))
+        vol_spec = P(data_axis, ct_axis)
+
+        def ct_trunk(params, stats, x):
+            sub = {"params": params["extractor_CT"]}
+            if stats and "extractor_CT" in stats:
+                sub["batch_stats"] = stats["extractor_CT"]
+
+            def body(v, xl):
+                return ext.apply(v, xl, train=True,
+                                 mutable=["batch_stats"])
+
+            feat, mut = jax.shard_map(
+                body, mesh=mesh, in_specs=(P(), vol_spec),
+                out_specs=(vol_spec, P()))(sub, x)
+            return feat, mut["batch_stats"]
 
     def loss_fn(params, state, batch, rng):
         variables = {"params": params}
@@ -37,9 +79,23 @@ def make_train_step(cfg: Config, donate: bool = True):
             variables["batch_stats"] = state.batch_stats
         rngs = {"dropout": jax.random.fold_in(rng, 0),
                 "crops": jax.random.fold_in(rng, 1)}
+        ext_stats = None
+        if ct_trunk is not None and "input_CT" in batch \
+                and "ct_features" not in batch:
+            ct_in = batch["input_CT"]
+            if "wMask" in cfg.model_CT and "mask_CT" in batch:
+                ct_in = jnp.concatenate(
+                    [ct_in, batch["mask_CT"].astype(ct_in.dtype)], axis=-1)
+            feat, ext_stats = ct_trunk(
+                params, variables.get("batch_stats"), ct_in)
+            batch = dict(batch, ct_features=feat)
         out, mutated = state.apply_fn(
             variables, batch, train=True,
             rngs=rngs, mutable=["batch_stats"] if has_bn else [])
+        if ext_stats is not None:
+            bs = dict(mutated.get("batch_stats", {}))
+            bs["extractor_CT"] = ext_stats
+            mutated = dict(mutated, batch_stats=bs)
         terms = multihead_loss(out, batch["label"], cfg.loss_point,
                                cfg.loss, cfg.num_classes)
         return terms["loss"], (terms, out, mutated)

@@ -21,6 +21,10 @@ def main(argv=None):
     parser = create_arg_parser()
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--cpu", action="store_true")
+    # depth-sharded CT serving (parallel/sp_ct.py): shard the volume's
+    # depth axis over N devices — scales the reference's timed batch-1
+    # metric (test_ddp.py:214-234) with chips; 0 = unsharded
+    parser.add_argument("--ct_depth_shard", type=int, default=0)
     ns = parser.parse_args(argv)
 
     import jax
@@ -58,7 +62,7 @@ def main(argv=None):
         out_dir = os.path.join(cfg.save_dir, "Predictions", "untrained")
 
     res = evaluate(cfg, loader, checkpoint_path=ckpt, out_dir=out_dir,
-                   mode=mode)
+                   mode=mode, ct_depth_shard=ns.ct_depth_shard)
     print(f"AUC {res['auc']:.4f}  ACC {res['acc']:.4f}  "
           f"prec {res['precision']:.4f}  rec {res['recall']:.4f}  "
           f"thr {res['threshold']:.4f}  "
