@@ -210,6 +210,12 @@ class Config:
     # numerics are identical across modes (tests/test_depthfold.py), so
     # checkpoints are mode-agnostic.  Default 'dfold'.
     ct_temporal_mode: str = "dfold"
+    # 2-D conv backend for the depth-folded trunk convs: 'xla' | 'pallas'.
+    # 'pallas' routes the 3×3 stride-1 folded convs (MC3 layer1 — the
+    # cout-64 shape XLA runs at ~21% MFU, BENCH_NOTES r2) through the
+    # ops/pallas/conv3x3 MXU kernels (fwd + custom VJP).  Measured ruling
+    # in BENCH_NOTES r3.
+    ct_conv_backend: str = "xla"
     ct_shape: List[int] = field(default_factory=lambda: [160, 512, 512])
     save_dir: str = "results"
     log_every: int = 10

@@ -120,6 +120,9 @@ class DepthFoldedConv(nn.Module):
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
     shard_axis: str | None = None
+    conv_backend: str = "xla"   # 'pallas' routes 3x3 stride-1 folded convs
+                                # through ops/pallas/conv3x3 (MC3 layer1's
+                                # cout-64 shape, where XLA sits at ~21% MFU)
 
     @nn.compact
     def __call__(self, x):
@@ -146,6 +149,16 @@ class DepthFoldedConv(nn.Module):
         k = k.astype(dt)
 
         def conv2d(inp, ker):
+            # 'pallas' gates on a TPU backend (the kernel is Mosaic-only);
+            # 'pallas_interpret' forces the interpreter for CPU tests
+            use_pl = (self.conv_backend == "pallas_interpret"
+                      or (self.conv_backend == "pallas"
+                          and jax.default_backend() == "tpu"))
+            if (use_pl and ker.shape[:2] == (3, 3)
+                    and (sh, sw) == (1, 1) and (ph, pw) == (1, 1)):
+                from ..ops.pallas.conv3x3 import conv3x3
+                return conv3x3(inp.astype(dt), ker, 16,
+                               self.conv_backend == "pallas_interpret")
             return jax.lax.conv_general_dilated(
                 inp.astype(dt), ker, (sh, sw), ((ph, ph), (pw, pw)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -194,6 +207,7 @@ class _ConvBN(nn.Module):
                                     # ('data','depth') shard_map syncs BN
                                     # over BOTH axes so stats equal the
                                     # global-batch DP step's (train/step.py)
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -203,6 +217,7 @@ class _ConvBN(nn.Module):
                                 self.padding, mode=self.temporal_mode,
                                 use_bias=self.use_bias, dtype=self.dtype,
                                 shard_axis=self.shard_axis,
+                                conv_backend=self.conv_backend,
                                 name="conv")(x)
         elif (len(self.kernel) == 3 and self.kernel[0] > 1
                 and self.shard_axis is not None):
@@ -253,6 +268,7 @@ class BasicBlock3D(nn.Module):
     temporal_mode: str = "conv3d"
     shard_axis: str | None = None
     bn_axes: tuple | None = None
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -265,12 +281,12 @@ class BasicBlock3D(nn.Module):
         y = _ConvBN(self.features, k, s, p, dtype=self.dtype,
                     temporal_mode=self.temporal_mode,
                     shard_axis=self.shard_axis, bn_axes=self.bn_axes,
-                    name="conv1")(x, train)
+                    conv_backend=self.conv_backend, name="conv1")(x, train)
         y = nn.relu(y)
         y = _ConvBN(self.features, k, (1, 1, 1), p, dtype=self.dtype,
                     temporal_mode=self.temporal_mode,
                     shard_axis=self.shard_axis, bn_axes=self.bn_axes,
-                    name="conv2")(y, train)
+                    conv_backend=self.conv_backend, name="conv2")(y, train)
         if x.shape[-1] != self.features or self.stride != 1:
             x = _ConvBN(self.features, (1, 1, 1), s, (0, 0, 0),
                         dtype=self.dtype, shard_axis=self.shard_axis,
@@ -293,6 +309,7 @@ class VideoResNetFeatures(nn.Module):
     temporal_mode: str = "conv3d"
     shard_axis: str | None = None
     bn_axes: tuple | None = None
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -316,6 +333,7 @@ class VideoResNetFeatures(nn.Module):
                           temporal_mode=self.temporal_mode,
                           shard_axis=self.shard_axis,
                           bn_axes=self.bn_axes,
+                          conv_backend=self.conv_backend,
                           name=f"layer{i + 1}_{b}")(x, train)
         return x
 
@@ -333,6 +351,7 @@ class ResnetMC3_18(nn.Module):
     temporal_mode: str = "conv3d"
     shard_axis: str | None = None
     bn_axes: tuple | None = None
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -358,7 +377,8 @@ class ResnetMC3_18(nn.Module):
         return VideoResNetFeatures(
             remat=self.remat, dtype=self.dtype,
             temporal_mode=self.temporal_mode, shard_axis=self.shard_axis,
-            bn_axes=self.bn_axes, name="trunk")(x, train)
+            bn_axes=self.bn_axes, conv_backend=self.conv_backend,
+            name="trunk")(x, train)
 
 
 class MedicalNetFeatures(nn.Module):

@@ -14,5 +14,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "highest")
+# LLMMIL_TEST_TPU=1 runs the suite on the attached TPU instead (for the
+# TPU-marked goldens, e.g. tests/test_golden_bf16.py)
+if not os.environ.get("LLMMIL_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")

@@ -73,3 +73,34 @@ def test_rejects_non_3x3():
 def test_vmem_estimate_production_shape():
     # layer1 dfold shape must fit a 16 MiB VMEM budget with headroom
     assert conv3x3_vmem_bytes((160, 128, 128, 192), 64) < 15 * 2 ** 20
+
+
+def test_trunk_pallas_backend_matches_xla():
+    """ResnetMC3_18 with conv_backend='pallas' (interpret for CPU) must
+    reproduce the XLA-backed trunk bit-closely — same params, fwd + grads."""
+    from llmmil_tpu.models.ct_mc3 import ResnetMC3_18
+
+    mx = ResnetMC3_18(spacing_xy=2.0, remat=False, temporal_mode="dfold",
+                      dtype=jnp.float32)
+    mp = mx.clone(conv_backend="pallas_interpret")
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 16, 16, 1),
+                    jnp.float32)
+    variables = mx.init(jax.random.PRNGKey(0), x, train=False)
+    want = mx.apply(variables, x, train=False)
+    got = mp.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+    stats = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p, **stats}, x, train=False) ** 2)
+
+    gx = jax.grad(lambda p: loss(mx, p))(variables["params"])
+    gp = jax.grad(lambda p: loss(mp, p))(variables["params"])
+    for (px, lx), (pp, lp) in zip(
+            jax.tree_util.tree_leaves_with_path(gx),
+            jax.tree_util.tree_leaves_with_path(gp)):
+        assert px == pp
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                                   atol=1e-3, rtol=1e-3, err_msg=str(px))

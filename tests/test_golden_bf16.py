@@ -1,0 +1,88 @@
+"""bf16 PRODUCTION-path golden locks, captured on TPU (VERDICT r2 #3).
+
+The fp32 golden (tests/test_golden.py) cannot see a regression that
+perturbs only the bf16 compute path — exactly what conv-kernel work
+touches.  These values were captured on the attached v5e
+(scripts/capture_bf16_golden.py, 2026-08-17, round 3) with the default
+``ct_conv_backend='xla'``; the grad branch norms additionally lock the
+BACKWARD path.  Runs only on TPU (``LLMMIL_TEST_TPU=1 python -m pytest
+tests/test_golden_bf16.py``); skipped on the CPU suite — bf16 numerics are
+platform-specific (MXU vs emulation).
+
+Tolerance rationale: outputs are bf16-quantised (grid ~4e-3 around 0.5)
+and the untrained tiny flagship amplifies rounding (measured bf16-vs-fp32
+drift is 0.55!), so ANY reduction reassociation moves values by a few
+ulps; 0.02 absolute covers scheduling jitter while a wrong kernel (sign
+flips, dropped taps) moves probs by 0.1+.  If the default conv backend is
+deliberately changed, re-capture and update these values in the same
+commit.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from test_golden import _tiny_flagship
+
+GOLDEN_BF16_PROBS = [
+    [[0.6796875, 0.49609375], [0.65625, 0.484375]],
+    [[0.208984375, 0.7734375], [0.22265625, 0.78125]],
+    [[0.25, 0.71875], [0.291015625, 0.73828125]],
+]
+
+GOLDEN_BF16_GRAD_NORMS = {
+    "TwoWayTransformer_Both": 79470.96,
+    "aggregator": 26589.58,
+    "clinic_extractor": 1115.326,
+    "extractor_CT": 4875.334,
+    "fc": 381.8279,
+    "fc_CI2CT": 224.97,
+    "fc_CI2Pth": 395.5685,
+    "fc_CT": 286.636,
+    "fc_Pth": 317.9243,
+    "fc_pathology": 1572.266,
+}
+
+tpu_only = pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="bf16 goldens are TPU-captured (MXU numerics)")
+
+
+def _bf16_setup():
+    from llmmil_tpu.models import build_model
+
+    cfg, batch = _tiny_flagship()
+    cfg = cfg.replace(compute_dtype="bfloat16")
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return model, variables, batch
+
+
+@tpu_only
+def test_golden_flagship_bf16_forward():
+    model, variables, batch = _bf16_setup()
+    out = model.apply(variables, batch)
+    got = np.asarray(
+        jnp.stack([out["probs"], out["probs_CT"], out["probs_Pth"]]),
+        dtype=np.float64)
+    np.testing.assert_allclose(got, np.array(GOLDEN_BF16_PROBS), atol=0.02)
+
+
+@tpu_only
+def test_golden_flagship_bf16_grad_norms():
+    model, variables, batch = _bf16_setup()
+    stats = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss(p):
+        o = model.apply({"params": p, **stats}, batch, train=False)
+        return (jnp.sum(o["probs"]) + jnp.sum(o["probs_CT"])
+                + jnp.sum(o["probs_Pth"])).astype(jnp.float32)
+
+    g = jax.grad(loss)(variables["params"])
+    got = {k: float(sum(jnp.sum(jnp.abs(v.astype(jnp.float32)))
+                        for v in jax.tree_util.tree_leaves(sub)))
+           for k, sub in g.items()}
+    assert set(got) == set(GOLDEN_BF16_GRAD_NORMS)
+    for k, want in GOLDEN_BF16_GRAD_NORMS.items():
+        np.testing.assert_allclose(got[k], want, rtol=0.05, err_msg=k)
