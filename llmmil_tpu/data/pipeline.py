@@ -338,12 +338,26 @@ class BatchLoader:
         if self.drop_last:
             idx = idx[:len(idx) - len(idx) % self.batch_size]
         if self.num_workers > 1:
+            # windowed CROSS-batch sample pipeline: per-sample futures with
+            # a bounded in-flight window, yielded in order.  A per-batch
+            # pool.map would cap parallelism at batch_size (zero at the
+            # production serving batch of 1); the hot per-sample work —
+            # gzip inflate (libdeflate/zlib), the C++ packer, np.load —
+            # all releases the GIL, so threads scale on multi-core hosts.
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
+            window = max(self.num_workers * 2, self.batch_size)
             with ThreadPoolExecutor(self.num_workers) as pool:
+                futs: deque = deque()
+                pos = 0
                 for start in range(0, len(idx), self.batch_size):
                     chunk = idx[start:start + self.batch_size]
-                    yield self._collate(list(pool.map(
-                        lambda i: self.ds[int(i)], chunk)))
+                    while pos < len(idx) and len(futs) < len(chunk) + window:
+                        futs.append(pool.submit(self.ds.__getitem__,
+                                                int(idx[pos])))
+                        pos += 1
+                    yield self._collate(
+                        [futs.popleft().result() for _ in chunk])
             return
         for start in range(0, len(idx), self.batch_size):
             chunk = idx[start:start + self.batch_size]

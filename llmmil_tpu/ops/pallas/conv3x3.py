@@ -78,6 +78,11 @@ def _conv_fwd(x, w, *, block_h=16, interpret=False):
     flops = 2 * n * h * wd * 9 * c * f
     return pl.pallas_call(
         functools.partial(_fwd_kernel, bh=bh, width=wd, cin=c),
+        compiler_params=pltpu.CompilerParams(
+            # the resident padded image + double-buffered out blocks exceed
+            # the 16 MiB default scoped-vmem limit at the layer1 shape
+            # (measured 18.27 MiB); v5e VMEM is 128 MiB physical
+            vmem_limit_bytes=64 * 2 ** 20),
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, h + 2, wd + 2, c), lambda i, r: (i, 0, 0, 0),
@@ -126,6 +131,8 @@ def _conv_wgrad(x, dy, *, block_h=16, interpret=False):
     flops = 2 * n * h * wd * 9 * c * f
     dw = pl.pallas_call(
         functools.partial(_wgrad_kernel, bh=bh, width=wd, cin=c),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, h + 2, wd + 2, c), lambda i, r: (i, 0, 0, 0),
