@@ -68,7 +68,22 @@ def _fwd_kernel(x_ref, w_ref, y_ref, acc_ref, *, bh, width, cin):
         y_ref.dtype)
 
 
-def _conv_fwd(x, w, *, block_h=16, interpret=False):
+def _fwd_patch_kernel(x_ref, w_ref, y_ref, patch_ref, *, bh, width, cin):
+    """Patch-matrix variant: materialise the (bh·W, 9·C) im2col block in
+    VMEM (9 shifted copies), then ONE long-K GEMM — deeper MXU contraction
+    (K = 9·C) at the cost of the extra VMEM traffic."""
+    r = pl.program_id(1)
+    base = r * bh
+    for dr in range(3):
+        for dc in range(3):
+            xs = x_ref[0, pl.ds(base + dr, bh), pl.ds(dc, width), :]
+            t = dr * 3 + dc
+            patch_ref[:, pl.ds(t * cin, cin)] = xs.reshape(bh * width, cin)
+    y = jnp.dot(patch_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    y_ref[0] = y.reshape(bh, width, y_ref.shape[-1]).astype(y_ref.dtype)
+
+
+def _conv_fwd(x, w, *, block_h=16, interpret=False, mode="taps"):
     """x: (N, H, W, C), w: (3, 3, C, F) → (N, H, W, F)."""
     n, h, wd, c = x.shape
     f = w.shape[-1]
@@ -76,8 +91,14 @@ def _conv_fwd(x, w, *, block_h=16, interpret=False):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * c, f).astype(x.dtype)
     flops = 2 * n * h * wd * 9 * c * f
+    if mode == "patch":
+        kern = functools.partial(_fwd_patch_kernel, bh=bh, width=wd, cin=c)
+        scratch = [pltpu.VMEM((bh * wd, 9 * c), x.dtype)]
+    else:
+        kern = functools.partial(_fwd_kernel, bh=bh, width=wd, cin=c)
+        scratch = [pltpu.VMEM((bh * wd, f), jnp.float32)]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, bh=bh, width=wd, cin=c),
+        kern,
         compiler_params=pltpu.CompilerParams(
             # the resident padded image + double-buffered out blocks exceed
             # the 16 MiB default scoped-vmem limit at the layer1 shape
@@ -93,7 +114,7 @@ def _conv_fwd(x, w, *, block_h=16, interpret=False):
         out_specs=pl.BlockSpec((1, bh, wd, f), lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wd, f), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bh * wd, f), jnp.float32)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=xp.nbytes + n * h * wd * f * 2,
             transcendentals=0),
@@ -183,11 +204,12 @@ conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
 def conv3x3_reference(x, w):
-    """The XLA path this kernel replaces (for parity tests/benches)."""
+    """The XLA path this kernel replaces (for parity tests/benches) —
+    exactly DepthFoldedConv's conv2d call (native dtype; the TPU MXU
+    accumulates fp32 internally either way)."""
     return jax.lax.conv_general_dilated(
-        x, w, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def conv3x3_vmem_bytes(x_shape, f, block_h=16) -> int:

@@ -1,18 +1,27 @@
 #!/usr/bin/env python
-"""Pallas conv3x3 vs XLA at MC3-layer1 production shape, on-TPU.
+"""Pallas conv3x3 vs XLA at MC3-layer1 production shape, per-op, on-TPU.
 
 VERDICT r2 #1 harness.  The dfold layer1 convs — (B·D=160, 128, 128, 192)
-→ 64, 3×3 stride-1 — run at ~21% MFU under XLA's conv emitters (BENCH_NOTES
-r2 stage profile; the measured in-XLA lowerings are exhausted).  Marginal
-timing (K data-dependent iterations chained in one jit vs 1, scalar-fetch
-fenced), reporting ms/iter, TFLOP/s, and MFU vs the 197 TFLOP/s v5e bf16
-peak, for fwd / full grad (dx+dw), kernel vs XLA.
+→ 64, 3×3 stride-1 — run at ~21-27% MFU under XLA's emitters (BENCH_NOTES
+r2; the in-XLA lowerings are exhausted).  Each op is measured in
+ISOLATION with marginal timing and a data-dependent operand (K chained
+iterations in one jit vs 1, scalar-fetch fenced) so XLA cannot hoist the
+op out of the loop:
+
+  fwd    y  = conv(x, w)                 (N,H,W,C)→F
+  dgrad  dx = conv(g, rot(w))            (N,H,W,F)→C   (the vjp wrt x)
+  wgrad  dw = Σ patchesᵀ(x)·g            → (3,3,C,F)   (the vjp wrt w)
+
+XLA rows use the REAL gradient emitters (jax.vjp of the reference conv);
+pallas rows are the ops/pallas/conv3x3 kernels ('taps' = 9 tap GEMMs,
+'patch' = one long-K GEMM over a VMEM im2col block).
 
 Usage: python scripts/bench_conv3x3.py [--n 160] [--hw 128] [--c 192]
          [--f 64] [--iters 20] [--reps 5] [--block-h 8,16] [--small]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -33,7 +42,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--block-h", type=str, default="8,16")
+    p.add_argument("--modes", type=str, default="taps,patch")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--ops", type=str, default="fwd,dgrad,wgrad")
     p.add_argument("--small", action="store_true")
     ns = p.parse_args(argv)
     if ns.small:
@@ -43,83 +54,112 @@ def main(argv=None):
     if ns.small:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from llmmil_tpu.ops.pallas.conv3x3 import conv3x3, conv3x3_reference
+    from llmmil_tpu.ops.pallas.conv3x3 import (_conv_fwd, _conv_wgrad,
+                                               conv3x3_reference)
 
     dt = jnp.dtype(ns.dtype) if not ns.small else jnp.float32
     interp = bool(ns.small)
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.randn(ns.n, ns.hw, ns.hw, ns.c), dt)
     w = jnp.asarray(rs.randn(3, 3, ns.c, ns.f) * 0.05, dt)
+    g = jnp.asarray(rs.randn(ns.n, ns.hw, ns.hw, ns.f), dt)
+    w_rot = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     flops = 2 * ns.n * ns.hw * ns.hw * 9 * ns.c * ns.f
 
-    def make_fwd(conv):
-        def f(x, w, k):
+    def chained(fn, a, b):
+        """K iterations of out = fn(a, b) with a data-dependent on out."""
+        def f(a, b, k):
             def body(_, carry):
-                acc, xx = carry
-                xx = xx + (acc * 1e-12).astype(xx.dtype)
-                y = conv(xx, w)
-                return jnp.sum(y.astype(jnp.float32)), xx
-            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), x))
+                acc, aa = carry
+                aa = aa + (acc * 1e-12).astype(aa.dtype)
+                out = fn(aa, b)
+                return jnp.sum(out.astype(jnp.float32)), aa
+            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), a))
             return acc
-        return jax.jit(f, static_argnums=2)
+        jf = jax.jit(f, static_argnums=2)
+        return lambda k: jf(a, b, k)
 
-    def make_grad(conv):
-        def f(x, w, k):
-            def body(_, carry):
-                acc, xx = carry
-                xx = xx + (acc * 1e-12).astype(xx.dtype)
-
-                def loss(xx_, w_):
-                    return jnp.sum(conv(xx_, w_).astype(jnp.float32))
-
-                gx, gw = jax.grad(loss, argnums=(0, 1))(xx, w)
-                s = (jnp.sum(gx.astype(jnp.float32))
-                     + jnp.sum(gw.astype(jnp.float32)))
-                return s, xx
-            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), x))
-            return acc
-        return jax.jit(f, static_argnums=2)
-
-    def time_marginal(fn, label, mult):
+    def time_marginal(run, label):
         try:
-            float(fn(x, w, 1))   # warm both compiles (axon does not fence
-            float(fn(x, w, 1 + ns.iters))   # on block_until_ready)
+            float(run(1))
+            float(run(1 + ns.iters))
             best = None
             for _ in range(ns.reps):
                 t0 = time.perf_counter()
-                float(fn(x, w, 1))
+                float(run(1))
                 d1 = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                float(fn(x, w, 1 + ns.iters))
+                float(run(1 + ns.iters))
                 dk = time.perf_counter() - t0
                 ms = (dk - d1) / ns.iters * 1e3
                 best = ms if best is None else min(best, ms)
-            tf = mult * flops / (best / 1e3)
-            print(f"{label:<24} {best:>8.2f} ms  {tf / 1e12:>6.1f} TFLOP/s"
+            tf = flops / (best / 1e3)
+            print(f"{label:<26} {best:>8.2f} ms  {tf / 1e12:>6.1f} TFLOP/s"
                   f"  {100 * tf / PEAK:>5.1f}% MFU", flush=True)
-            return best
         except Exception as e:
-            print(f"{label:<24} FAILED {type(e).__name__}: {str(e)[:200]}",
+            print(f"{label:<26} FAILED {type(e).__name__}: {str(e)[:160]}",
                   flush=True)
-            return None
 
-    # parity on-device first
+    # XLA gradient emitters via vjp (zeros primal: dgrad/wgrad don't read it)
+    def dx_xla(g_, w_):
+        _, vjp = jax.vjp(
+            lambda x_: conv3x3_reference(x_, w_), jnp.zeros_like(x))
+        return vjp(g_)[0]
+
+    def dw_xla(g_, x_):
+        _, vjp = jax.vjp(
+            lambda w_: conv3x3_reference(x_, w_), jnp.zeros_like(w))
+        return vjp(g_)[0]
+
+    bhs = [int(b) for b in ns.block_h.split(",")]
+    modes = ns.modes.split(",")
+    ops = ns.ops.split(",")
+
+    # parity on-device (fwd + both pallas grads vs the XLA emitters)
     want = conv3x3_reference(x, w)
-    for bh in [int(b) for b in ns.block_h.split(",")]:
-        got = conv3x3(x, w, bh, interp)
+    wantdx = dx_xla(g, w)
+    wantdw = dw_xla(g, x)
+    for mode in modes:
+        got = _conv_fwd(x, w, block_h=bhs[0], interpret=interp, mode=mode)
         d = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                                   - want.astype(jnp.float32))))
-        print(f"parity bh={bh}: max|Δ| = {d:.3e}", flush=True)
+        gdx = _conv_fwd(g, w_rot, block_h=bhs[0], interpret=interp,
+                        mode=mode)
+        ddx = float(jnp.max(jnp.abs(gdx.astype(jnp.float32)
+                                    - wantdx.astype(jnp.float32))))
+        print(f"parity {mode}: fwd max|Δ|={d:.3e} dx max|Δ|={ddx:.3e}",
+              flush=True)
+    gdw = _conv_wgrad(x, g, block_h=bhs[0], interpret=interp)
+    print(f"parity wgrad: max|Δ|="
+          f"{float(jnp.max(jnp.abs(gdw - wantdw.astype(jnp.float32)))):.3e}",
+          flush=True)
 
     print(f"\nshape ({ns.n},{ns.hw},{ns.hw},{ns.c})→{ns.f} {dt}, "
-          f"{flops / 1e9:.0f} GFLOP/conv")
-    time_marginal(make_fwd(conv3x3_reference), "xla fwd", 1)
-    time_marginal(make_grad(conv3x3_reference), "xla grad(dx+dw)", 3)
-    for bh in [int(b) for b in ns.block_h.split(",")]:
-        def kconv(x_, w_, bh=bh):
-            return conv3x3(x_, w_, bh, interp)
-        time_marginal(make_fwd(kconv), f"pallas fwd bh={bh}", 1)
-        time_marginal(make_grad(kconv), f"pallas grad bh={bh}", 3)
+          f"{flops / 1e9:.0f} GFLOP/op")
+    if "fwd" in ops:
+        time_marginal(chained(conv3x3_reference, x, w), "xla fwd")
+    if "dgrad" in ops:
+        time_marginal(chained(dx_xla, g, w), "xla dgrad")
+    if "wgrad" in ops:
+        time_marginal(chained(dw_xla, g, x), "xla wgrad")
+    for mode in modes:
+        for bh in bhs:
+            if "fwd" in ops:
+                fwd = functools.partial(_conv_fwd, block_h=bh,
+                                        interpret=interp, mode=mode)
+                time_marginal(chained(fwd, x, w),
+                              f"pallas fwd {mode} bh={bh}")
+            if "dgrad" in ops:
+                dg = functools.partial(_conv_fwd, block_h=bh,
+                                       interpret=interp, mode=mode)
+                time_marginal(chained(dg, g, w_rot),
+                              f"pallas dgrad {mode} bh={bh}")
+    if "wgrad" in ops:
+        for bh in bhs:
+            wg = functools.partial(
+                lambda g_, x_, bh=bh: _conv_wgrad(x_, g_, block_h=bh,
+                                                  interpret=interp))
+            time_marginal(chained(wg, g, x), f"pallas wgrad bh={bh}")
 
 
 if __name__ == "__main__":

@@ -101,7 +101,19 @@ def main(argv=None):
         return sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
                    for l in jax.tree_util.tree_leaves(t))
 
-    print(f"{'component':<10} {'prog':<5} {'ms':>8}  compile_s")
+    PEAK = 197e12    # v5e bf16
+
+    def aot_flops(comp):
+        try:
+            ca = comp.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
+    print(f"{'component':<10} {'prog':<5} {'ms':>8} {'GFLOP':>8} "
+          f"{'TFLOP/s':>8} {'MFU%':>6}  compile_s")
     for name, mod, args in comps:
         try:
             variables = mod.init(jax.random.PRNGKey(0), *args, train=False)
@@ -136,8 +148,11 @@ def main(argv=None):
                 d1 = min(run_k(1) for _ in range(2))
                 dk = min(run_k(1 + ns.iters) for _ in range(2))
                 ms = (dk - d1) / ns.iters * 1e3
-                print(f"{name:<10} {pname:<5} {ms:>8.2f}  ({cs:.0f}s)",
-                      flush=True)
+                fl = aot_flops(comp)
+                tf = fl / (ms / 1e3) if ms > 0 else 0.0
+                print(f"{name:<10} {pname:<5} {ms:>8.2f} {fl / 1e9:>8.1f} "
+                      f"{tf / 1e12:>8.1f} {100 * tf / PEAK:>6.1f}  "
+                      f"({cs:.0f}s)", flush=True)
             except Exception as e:
                 print(f"{name:<10} {pname:<5}  FAILED {type(e).__name__}: "
                       f"{str(e)[:90]}", flush=True)
