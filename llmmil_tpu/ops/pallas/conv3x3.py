@@ -83,6 +83,29 @@ def _fwd_patch_kernel(x_ref, w_ref, y_ref, patch_ref, *, bh, width, cin):
     y_ref[0] = y.reshape(bh, width, y_ref.shape[-1]).astype(y_ref.dtype)
 
 
+def _tout_kernel(x_ref, w_ref, yt_ref, patch_ref, *, bh, width, cin):
+    """Transposed-output variant: y^T(F, bh·W) = w^T(F, 9C) · patch^T.
+
+    With cout = 64, the natural (pixels, F) GEMM fills only half the MXU's
+    128 output lanes (the measured XLA-fwd ceiling, ~27% MFU); putting the
+    PIXEL axis on the lanes makes every output tile full.  No input
+    relayout needed: dot_general contracts w's dim 0 against patch's
+    dim 1 directly, and the (F, N·H·W) result is transposed back to NHWC
+    by one cheap XLA pass outside the kernel.
+    """
+    r = pl.program_id(1)
+    base = r * bh
+    for dr in range(3):
+        for dc in range(3):
+            xs = x_ref[0, pl.ds(base + dr, bh), pl.ds(dc, width), :]
+            t = dr * 3 + dc
+            patch_ref[:, pl.ds(t * cin, cin)] = xs.reshape(bh * width, cin)
+    yt = jax.lax.dot_general(
+        w_ref[:], patch_ref[:], (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (F, bh·W)
+    yt_ref[:] = yt.astype(yt_ref.dtype)
+
+
 def _conv_fwd(x, w, *, block_h=16, interpret=False, mode="taps"):
     """x: (N, H, W, C), w: (3, 3, C, F) → (N, H, W, F)."""
     n, h, wd, c = x.shape
@@ -91,6 +114,31 @@ def _conv_fwd(x, w, *, block_h=16, interpret=False, mode="taps"):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * c, f).astype(x.dtype)
     flops = 2 * n * h * wd * 9 * c * f
+    if mode == "tout":
+        nblk = h // bh
+        yt = pl.pallas_call(
+            functools.partial(_tout_kernel, bh=bh, width=wd, cin=c),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2 ** 20),
+            grid=(n, nblk),
+            in_specs=[
+                pl.BlockSpec((1, h + 2, wd + 2, c),
+                             lambda i, r: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9 * c, f), lambda i, r: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((f, bh * wd),
+                                   lambda i, r, nblk=nblk: (0, i * nblk + r),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((f, n * h * wd), x.dtype),
+            scratch_shapes=[pltpu.VMEM((bh * wd, 9 * c), x.dtype)],
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=xp.nbytes + n * h * wd * f * 2,
+                transcendentals=0),
+            interpret=interpret,
+        )(xp, wf)
+        return jnp.transpose(yt.reshape(f, n, h, wd), (1, 2, 3, 0))
     if mode == "patch":
         kern = functools.partial(_fwd_patch_kernel, bh=bh, width=wd, cin=c)
         scratch = [pltpu.VMEM((bh * wd, 9 * c), x.dtype)]
@@ -143,13 +191,62 @@ def _wgrad_kernel(x_ref, dy_ref, dw_ref, *, bh, width, cin):
             dw_ref[pl.ds((dr * 3 + dc) * cin, cin), :] += contrib
 
 
-def _conv_wgrad(x, dy, *, block_h=16, interpret=False):
+def _wgrad_tout_kernel(x_ref, dy_ref, dwt_ref, patch_ref, *,
+                       bh, width, cin):
+    """Transposed wgrad: dw^T(F, 9C) += dy^T · patch, full output lanes
+    (9C = 1728 on the lanes vs 64 in the natural orientation); both
+    contractions are over the leading pixel axis — no input relayouts."""
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dwt_ref[:] = jnp.zeros_like(dwt_ref)
+
+    r = pl.program_id(1)
+    base = r * bh
+    for dr in range(3):
+        for dc in range(3):
+            xs = x_ref[0, pl.ds(base + dr, bh), pl.ds(dc, width), :]
+            t = dr * 3 + dc
+            patch_ref[:, pl.ds(t * cin, cin)] = xs.reshape(bh * width, cin)
+    dy = dy_ref[0].reshape(bh * width, dy_ref.shape[-1])
+    contrib = jax.lax.dot_general(
+        dy, patch_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (F, 9C)
+    dwt_ref[:] += contrib
+
+
+def _conv_wgrad(x, dy, *, block_h=16, interpret=False, mode="taps"):
     """x: (N, H, W, C), dy: (N, H, W, F) → dw (3, 3, C, F) fp32."""
     n, h, wd, c = x.shape
     f = dy.shape[-1]
     bh = _pick_bh(h, block_h)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     flops = 2 * n * h * wd * 9 * c * f
+    if mode == "tout":
+        dwt = pl.pallas_call(
+            functools.partial(_wgrad_tout_kernel, bh=bh, width=wd, cin=c),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2 ** 20),
+            grid=(n, h // bh),
+            in_specs=[
+                pl.BlockSpec((1, h + 2, wd + 2, c),
+                             lambda i, r: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bh, wd, f), lambda i, r: (i, r, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((f, 9 * c), lambda i, r: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((f, 9 * c), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bh * wd, 9 * c), x.dtype)],
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=xp.nbytes + dy.nbytes + 9 * c * f * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(xp, dy)
+        return jnp.transpose(dwt).reshape(3, 3, c, f)
     dw = pl.pallas_call(
         functools.partial(_wgrad_kernel, bh=bh, width=wd, cin=c),
         compiler_params=pltpu.CompilerParams(

@@ -42,7 +42,7 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--block-h", type=str, default="8,16")
-    p.add_argument("--modes", type=str, default="taps,patch")
+    p.add_argument("--modes", type=str, default="taps,patch,tout")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--ops", type=str, default="fwd,dgrad,wgrad")
     p.add_argument("--small", action="store_true")
@@ -129,10 +129,11 @@ def main(argv=None):
                                     - wantdx.astype(jnp.float32))))
         print(f"parity {mode}: fwd max|Δ|={d:.3e} dx max|Δ|={ddx:.3e}",
               flush=True)
-    gdw = _conv_wgrad(x, g, block_h=bhs[0], interpret=interp)
-    print(f"parity wgrad: max|Δ|="
-          f"{float(jnp.max(jnp.abs(gdw - wantdw.astype(jnp.float32)))):.3e}",
-          flush=True)
+    for wm in ("taps", "tout"):
+        gdw = _conv_wgrad(x, g, block_h=bhs[0], interpret=interp, mode=wm)
+        rel = float(jnp.max(jnp.abs(gdw - wantdw.astype(jnp.float32)))
+                    / (jnp.max(jnp.abs(wantdw.astype(jnp.float32))) + 1e-9))
+        print(f"parity wgrad {wm}: max relΔ={rel:.3e}", flush=True)
 
     print(f"\nshape ({ns.n},{ns.hw},{ns.hw},{ns.c})→{ns.f} {dt}, "
           f"{flops / 1e9:.0f} GFLOP/op")
@@ -155,11 +156,13 @@ def main(argv=None):
                 time_marginal(chained(dg, g, w_rot),
                               f"pallas dgrad {mode} bh={bh}")
     if "wgrad" in ops:
-        for bh in bhs:
-            wg = functools.partial(
-                lambda g_, x_, bh=bh: _conv_wgrad(x_, g_, block_h=bh,
-                                                  interpret=interp))
-            time_marginal(chained(wg, g, x), f"pallas wgrad bh={bh}")
+        for wm in ("taps", "tout"):
+            for bh in bhs:
+                wg = functools.partial(
+                    lambda g_, x_, bh=bh, wm=wm: _conv_wgrad(
+                        x_, g_, block_h=bh, interpret=interp, mode=wm))
+                time_marginal(chained(wg, g, x),
+                              f"pallas wgrad {wm} bh={bh}")
 
 
 if __name__ == "__main__":
