@@ -49,7 +49,9 @@ def gzip_decompress(data: bytes) -> bytes:
     """Whole-buffer gzip decompression via libdeflate when the system
     library exists — measured 2.1× zlib on this host (539 vs 1115 ms for a
     113 MB CT volume, the input pipeline's single largest stage,
-    BENCH_NOTES r3) — with a zlib fallback.  Exact output either way."""
+    BENCH_NOTES r3) — with a zlib fallback.  Exact output either way;
+    returns a bytes-like buffer (numpy uint8 on the libdeflate path,
+    zero-copy into ``np.frombuffer``)."""
     if not _LIBDEFLATE:
         try:
             import ctypes
@@ -70,12 +72,16 @@ def gzip_decompress(data: bytes) -> bytes:
         # volumes — on any mismatch (multi-member, giant file) fall back
         isize = int.from_bytes(data[-4:], "little")
         if 0 < isize < 2 ** 32 - 1:
-            out = ctypes.create_string_buffer(isize)
+            # decompress straight into a numpy buffer: .raw on a ctypes
+            # buffer would memcpy the whole volume (~100 ms at 113 MB)
+            out = np.empty(isize, np.uint8)
             n = ctypes.c_size_t(0)
             rc = lib.libdeflate_gzip_decompress(
-                dec, data, len(data), out, isize, ctypes.byref(n))
+                dec, data, len(data),
+                out.ctypes.data_as(ctypes.c_void_p), isize,
+                ctypes.byref(n))
             if rc == 0 and n.value == isize:
-                return out.raw
+                return out
     import zlib
     return zlib.decompress(data, wbits=31)
 

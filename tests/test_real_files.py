@@ -195,4 +195,5 @@ def test_gzip_decompress_thread_safety():
     gzs = [gzip.compress(p, 1) for p in payloads]
     with ThreadPoolExecutor(4) as pool:
         outs = list(pool.map(gzip_decompress, gzs * 6))
-    assert outs == payloads * 6
+    for got, want in zip(outs, payloads * 6):
+        assert bytes(got) == want
