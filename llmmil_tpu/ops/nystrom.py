@@ -37,11 +37,15 @@ def moore_penrose_pinv(a: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
     m = a.shape[-1]
     eye = jnp.eye(m, dtype=a.dtype)
 
-    def body(_, z):
+    # unrolled: iters is static and tiny (6 × three (m, m) matmuls), and a
+    # fori_loop here reverse-differentiates as a scan whose per-iteration
+    # residual stacking + serial launch overhead dominated the Nyström
+    # backward (profiled r3 — scripts/profile_nystrom.py)
+    for _ in range(iters):
         az = a @ z
-        return 0.25 * z @ (13.0 * eye - az @ (15.0 * eye - az @ (7.0 * eye - az)))
-
-    return lax.fori_loop(0, iters, body, z)
+        z = 0.25 * z @ (13.0 * eye - az @ (15.0 * eye
+                                           - az @ (7.0 * eye - az)))
+    return z
 
 
 def nystrom_attention(q, k, v, num_landmarks: int = 256,
