@@ -72,21 +72,31 @@ class NystromSelfAttention(nn.Module):
             pinv_iterations=self.pinv_iterations, mask=mask,
             return_attn=return_attn)
 
+        out = jnp.swapaxes(out, 1, 2).reshape(b, -1, inner)
         if self.residual:
-            # Depthwise conv over the token axis, per head (kernel (33, 1)).
+            # Depthwise conv over the token axis, per head (kernel (33, 1);
+            # same param as lax.conv NCHW/OIHW groups=h).  Computed as 33
+            # shifted multiply-adds on the (N, H·Dh) layout: the direct
+            # depthwise conv has C = heads = 8 channels — XLA's
+            # low-channel conv emitters ran its BACKWARD at ~0.03% MFU
+            # (~19 of the 23.8 ms/layer Nyström grad, profiled r3); the
+            # shift-and-add form is lane-perfect VPU work with trivial
+            # transposed gradients.
+            kk = self.residual_conv_kernel
             ker = self.param(
                 "res_conv",
                 nn.initializers.lecun_normal(),
-                (h, 1, self.residual_conv_kernel, 1), self.dtype)
-            res = lax.conv_general_dilated(
-                v.astype(self.dtype), ker,
-                window_strides=(1, 1),
-                padding=((self.residual_conv_kernel // 2,) * 2, (0, 0)),
-                feature_group_count=h,
-                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+                (h, 1, kk, 1), self.dtype)
+            vflat = jnp.swapaxes(v, 1, 2).reshape(
+                b, -1, inner).astype(self.dtype)
+            vp = jnp.pad(vflat, ((0, 0), (kk // 2, kk // 2), (0, 0)))
+            kex = jnp.repeat(jnp.transpose(ker[:, 0, :, 0]), dh,
+                             axis=-1)                     # (kk, H·Dh)
+            np_ = vflat.shape[1]
+            res = kex[0] * vp[:, 0:np_]
+            for t in range(1, kk):
+                res = res + kex[t] * vp[:, t:t + np_]
             out = out + res
-
-        out = jnp.swapaxes(out, 1, 2).reshape(b, -1, inner)
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = out[:, -n:]                       # drop the front padding
