@@ -157,9 +157,21 @@ def main(argv=None):
             lambda: crop_or_pad_volume(hu_normalize(img, meta), d, h),
             ns.reps)
         fused = crop_or_pad_volume(hu_normalize(img, meta), d, h)
+    # each augment op FORCED (prob=1.0): the chain's as-is timing hides
+    # the probabilistic tails (rotate fires at p=0.2, noise at p=0.1) —
+    # a "0.0 ms" augment reading masked ~0.45 s/sample of expected cost
+    # in the first r3 run.  Expected chain cost ≈ 0.2·rotate + 0.1·noise
+    # + 0.6·flip_pass (flip rebuilds contiguity when any axis fires).
     rng = np.random.RandomState(0)
-    results["augment"] = median_ms(lambda: aug.augment_ct(fused, rng),
-                                   ns.reps)
+    results["aug_rotate@p1"] = median_ms(
+        lambda: aug.rand_rotate(fused, rng, prob=1.0), ns.reps)
+    results["aug_noise@p1"] = median_ms(
+        lambda: aug.rand_gaussian_noise(fused, rng, prob=1.0), ns.reps)
+    results["aug_flip@p1"] = median_ms(
+        lambda: aug.rand_flip(fused, rng, prob=1.0), ns.reps)
+    results["augment_expect"] = (0.2 * results["aug_rotate@p1"]
+                                 + 0.1 * results["aug_noise@p1"]
+                                 + 0.6 * results["aug_flip@p1"])
     bagp = (f"{cfg.path_data_pathology}/{row['hospital']}/"
             f"{row['pathologyimage']}/{row['patientid']}.npy")
     results["bag_load"] = median_ms(
@@ -183,43 +195,38 @@ def main(argv=None):
         overlap_demo(cfg, ds)
 
 
-def overlap_demo(cfg, ds):
-    """Step wall-time: disk loader (prefetch thread) vs in-memory batches.
+def overlap_demo(cfg, ds, num_workers=2):
+    """Prefetch-overlap demonstration against a simulated device step.
 
-    Uses a CPU-jitted stand-in step sized ~like the per-sample load so
-    overlap is observable on this host; the claim being tested is that the
-    prefetch thread hides the disk path behind compute.
+    A jax-CPU stand-in step serializes with the loader on this 1-core host
+    no matter how the prefetch is structured — that measures core
+    contention, not pipeline overlap.  Production compute runs on the TPU
+    and costs the host ~nothing (async dispatch + one h2d enqueue), so the
+    faithful model is a GIL-releasing wait of t_step per batch.  Overlap
+    is demonstrated when wall/step ≈ max(t_load, t_step) (pipelined)
+    rather than t_load + t_step (serial).
     """
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
     from llmmil_tpu.data import BatchLoader
 
-    mem = [{k: v for k, v in b.items() if k != "ID"}
-           for b in BatchLoader(ds, 1, prefetch=0)]
-    w = jnp.asarray(np.random.RandomState(0).randn(768, 768), jnp.float32)
-
-    @jax.jit
-    def step(w, bag):
-        for _ in range(8):
-            bag = jnp.tanh(bag @ w)
-        return w + 1e-6 * jnp.einsum("bnl,bnm->lm", bag, bag), bag.sum()
-
-    def run(batches):
-        nonlocal w
-        s = None
+    def drain(step_s=0.0):
         t0 = time.perf_counter()
-        for b in batches:
-            w, s = step(w, jnp.asarray(b["input_pathology"]))
-        float(s)
-        return (time.perf_counter() - t0) * 1e3 / len(mem)
+        n = 0
+        for _ in BatchLoader(ds, 1, shuffle=False, prefetch=2,
+                             num_workers=num_workers):
+            if step_s:
+                time.sleep(step_s)    # simulated TPU device step
+            n += 1
+        return (time.perf_counter() - t0) * 1e3 / n
 
-    run(mem)                                   # compile + warm
-    t_mem = run(mem)
-    t_disk = run(b for b in BatchLoader(ds, 1, prefetch=2, num_workers=0)
-                 if b.pop("ID", True))
-    print(f"overlap: in-memory {t_mem:.0f} ms/step, disk+prefetch "
-          f"{t_disk:.0f} ms/step ({t_disk / t_mem:.2f}x)", flush=True)
+    t_load = drain()
+    print(f"overlap: bare loader {t_load:.0f} ms/sample "
+          f"(w={num_workers}, prefetch=2)", flush=True)
+    for step_ms in (250, int(t_load), int(2 * t_load)):
+        wall = drain(step_ms / 1e3)
+        ideal, serial = max(t_load, step_ms), t_load + step_ms
+        print(f"overlap: step {step_ms:>5} ms -> wall {wall:>6.0f} ms/step "
+              f"(pipelined bound {ideal:.0f}, serial bound {serial:.0f})",
+              flush=True)
 
 
 if __name__ == "__main__":
