@@ -217,6 +217,12 @@ class Config:
     # in BENCH_NOTES r3.
     ct_conv_backend: str = "xla"
     ct_shape: List[int] = field(default_factory=lambda: [160, 512, 512])
+    # Decoded-CT cache (beyond reference): "" = off; a directory path
+    # stores each patient's packed volume (post gzip-decode + HU-normalise
+    # + crop/pad, PRE-augmentation) as raw .npy, written atomically on
+    # first miss.  Later epochs mmap-read instead of re-paying the
+    # ~1.2 s/volume decode+pack (BENCH_NOTES r3 input-pipeline table).
+    ct_cache_dir: str = ""
     save_dir: str = "results"
     log_every: int = 10
 

@@ -162,6 +162,17 @@ def main(argv=None):
     # a "0.0 ms" augment reading masked ~0.45 s/sample of expected cost
     # in the first r3 run.  Expected chain cost ≈ 0.2·rotate + 0.1·noise
     # + 0.6·flip_pass (flip rebuilds contiguity when any axis fires).
+    # decoded-CT cache (cfg.ct_cache_dir): hit = one raw np.load replacing
+    # decode+packer
+    cache_dir = os.path.join(ns.root, "ct_cache")
+    ds_c = MultimodalDataset(cfg.replace(ct_cache_dir=cache_dir), "train")
+    crow = ds_c.df.iloc[0]
+    cpath = ds_c._ct_cache_path(crow)
+    if not os.path.exists(cpath):
+        ds_c._load_ct(crow, np.random.RandomState(0))    # populate
+    results["ct_cache_hit"] = median_ms(
+        lambda: np.load(cpath, mmap_mode=None), ns.reps)
+
     rng = np.random.RandomState(0)
     results["aug_rotate@p1"] = median_ms(
         lambda: aug.rand_rotate(fused, rng, prob=1.0), ns.reps)
@@ -182,11 +193,24 @@ def main(argv=None):
     results["collate"] = median_ms(lambda: loader._collate(samples),
                                    ns.reps)
 
+    def drain_loader(dataset, w):
+        """min over --reps epochs (this shared host shows 2-3x contention
+        swings on multi-second walls; min is the uncontended figure)."""
+        best = float("inf")
+        for ep in range(ns.reps):
+            ld = BatchLoader(dataset, 1, shuffle=False, prefetch=2,
+                             num_workers=w)
+            ld.set_epoch(ep)
+            t0 = time.perf_counter()
+            cnt = sum(1 for _ in ld)
+            best = min(best, (time.perf_counter() - t0) * 1e3 / cnt)
+        return best
+
     for w in (int(x) for x in ns.workers.split(",")):
-        ld = BatchLoader(ds, 1, shuffle=False, prefetch=2, num_workers=w)
-        t0 = time.perf_counter()
-        cnt = sum(1 for _ in ld)
-        results[f"loader@w{w}"] = (time.perf_counter() - t0) * 1e3 / cnt
+        results[f"loader@w{w}"] = drain_loader(ds, w)
+    for i in range(len(ds_c)):                      # populate all, then
+        ds_c[i]                                     # measure the hit path
+    results["loader@w1+cache"] = drain_loader(ds_c, 1)
 
     for k, v in results.items():
         print(f"{k:<16} {v:>10.1f} ms/sample", flush=True)

@@ -95,6 +95,38 @@ def test_real_file_pipeline(tmp_path):
     assert set(ds_test.df["hospital"]) <= {"EUMC", "HUMC", "SCHMC"}
 
 
+def test_ct_cache_roundtrip(tmp_path):
+    """Decoded-CT cache: miss populates, hit is byte-identical and skips
+    the nii.gz entirely (the source file is removed before the hit)."""
+    root = str(tmp_path)
+    _materialize(root)
+    cache = os.path.join(root, "ct_cache")
+    cfg = Config(modality=["CT", "pathology"], model_CI="simpleFCs_v1",
+                 CI_input_version="v1", batch_size=1, augmentation=0,
+                 spacing=[2.0, 2.0, 2.5], ct_shape=[12, 40, 40],
+                 ct_hw_override=40, bag_buckets=[128],
+                 hospital_test=["EUMC", "HUMC", "SCHMC"],
+                 path_data_CT=os.path.join(root, "CT"),
+                 path_data_pathology=os.path.join(root, "Pathology"),
+                 path_data_excel=os.path.join(root, "Clinical_excel"),
+                 learnablePrompt=0, ct_cache_dir=cache)
+    ds = MultimodalDataset(cfg, "train")
+    miss = ds[0]["input_CT"]
+    row = ds.df.iloc[0]
+    cpath = ds._ct_cache_path(row)
+    assert os.path.exists(cpath), cpath
+    # remove the source volume: the hit path must not need it
+    sx, sy, sz = cfg.spacing
+    src = (f"{cfg.path_data_CT}/X({sx})Y({sy})Z({sz})/"
+           f"{row['hospital']}/{row['patientid']}.nii.gz")
+    os.remove(src)
+    hit = ds[0]["input_CT"]
+    assert (miss == hit).all()
+    # a different ct_shape keys a different cache file
+    ds2 = MultimodalDataset(cfg.replace(ct_shape=[8, 40, 40]), "train")
+    assert ds2._ct_cache_path(ds2.df.iloc[0]) != cpath
+
+
 # ---- reference on-disk formats: DICOM header + NRRD masks ------------------
 
 def test_dicom_tag_roundtrip(tmp_path):
