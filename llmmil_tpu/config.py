@@ -225,6 +225,15 @@ class Config:
     ct_cache_dir: str = ""
     save_dir: str = "results"
     log_every: int = 10
+    # Device-transfer prefetch depth (parallel/prefetch.py): a background
+    # thread issues device_put N batches ahead so h2d copies overlap the
+    # jitted step (the reference's pin_memory + .cuda(non_blocking=True),
+    # train_ddp.py:276-293).  0 disables.
+    device_prefetch: int = 2
+    # Checkpoint-on-SIGTERM (train/preempt.py, beyond reference): the epoch
+    # loop drains at the next step boundary and writes checkpoint_last so
+    # --resume continues the run after a pod preemption.
+    handle_preemption: bool = True
 
     # ------------------------------------------------------------------
     @property

@@ -33,20 +33,27 @@ def _to_numpy(tree: Any) -> Any:
         lambda x: np.array(jax.device_get(x)), tree)
 
 
-def _ckpt_dict(state: TrainState, epoch: int) -> dict:
-    return {"epoch": epoch + 1,
+def _ckpt_dict(state: TrainState, next_epoch: int) -> dict:
+    return {"epoch": next_epoch,
             "params": state.params,
             "opt_state": state.opt_state,
             "batch_stats": state.batch_stats or {}}
 
 
 def save_checkpoint(state: TrainState, save_dir: str, epoch: int,
-                    is_best: bool = False) -> str:
+                    is_best: bool = False,
+                    next_epoch: int | None = None) -> str:
     """checkpoint_{epoch:04d} + checkpoint_last (+ checkpoint_best copy),
-    host-0 gated (train_ddp.py:211-244)."""
+    host-0 gated (train_ddp.py:211-244).
+
+    ``next_epoch`` overrides the resume point (default ``epoch + 1``, the
+    end-of-epoch convention): a mid-epoch preemption save passes ``epoch``
+    so --resume re-runs the interrupted epoch instead of skipping its
+    remaining batches."""
     if jax.process_index() != 0:
         return ""
-    blob = serialization.to_bytes(_to_numpy(_ckpt_dict(state, epoch)))
+    ne = epoch + 1 if next_epoch is None else next_epoch
+    blob = serialization.to_bytes(_to_numpy(_ckpt_dict(state, ne)))
     path = os.path.join(save_dir, f"checkpoint_{epoch:04d}.msgpack")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

@@ -23,10 +23,12 @@ import numpy as np
 from ..config import Config
 from ..models import build_model
 from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel.prefetch import prefetch_to_device
 from ..utils import AverageMeter, MetricWriter, ProgressMeter
 from ..utils.run_dir import dump_config, make_save_dir
 from . import checkpoint as ckpt_lib
 from .metrics import accuracy_onehot, precision_recall, roc_auc
+from .preempt import PreemptionGuard
 from .state import create_train_state
 from .step import make_eval_step, make_train_step
 
@@ -57,8 +59,12 @@ def _epoch_metrics(all_probs, all_labels, num_classes: int) -> Dict:
 
 
 def run_epoch(step_fn, state, loader, mesh, rng, epoch: int, cfg: Config,
-              train: bool, writer: Optional[MetricWriter] = None):
-    """One pass over a loader; returns (state, epoch metrics)."""
+              train: bool, writer: Optional[MetricWriter] = None,
+              guard: Optional[PreemptionGuard] = None):
+    """One pass over a loader; returns (state, epoch metrics).
+
+    ``guard``: a latched :class:`PreemptionGuard` drains pending metrics and
+    breaks the batch loop at the next step boundary."""
     batch_time = AverageMeter("Time", ":6.3f")
     data_time = AverageMeter("Data", ":6.3f")
     losses = AverageMeter("Loss", ":.4e")
@@ -89,7 +95,13 @@ def run_epoch(step_fn, state, loader, mesh, rng, epoch: int, cfg: Config,
     epoch_start = time.time()
     end = time.time()
     n_batches = 0
-    for i, batch in enumerate(loader):
+    batches = loader
+    if cfg.device_prefetch > 0:
+        # background device_put pipeline: the h2d copy of batch i+1 overlaps
+        # the jitted step for batch i (parallel/prefetch.py); _device_batch
+        # below is then a no-copy no-op on the already-placed arrays
+        batches = prefetch_to_device(loader, cfg.device_prefetch, mesh)
+    for i, batch in enumerate(batches):
         data_time.update(time.time() - end)
         n = batch["label"].shape[0]
         n_batches += 1
@@ -104,6 +116,8 @@ def run_epoch(step_fn, state, loader, mesh, rng, epoch: int, cfg: Config,
         if i % cfg.log_every == 0:
             drain()
             progress.display(i)
+        if guard is not None and guard.requested:
+            break
     drain()
 
     em = _epoch_metrics(all_probs, all_labels, cfg.num_classes)
@@ -172,27 +186,40 @@ def fit(cfg: Config, train_loader, valid_loader,
 
     best_auc = 0.0
     summary: Dict = {}
-    for epoch in range(start_epoch, n_epochs or cfg.n_epochs):
-        train_loader.set_epoch(epoch)
-        print(save_dir)
-        if profile_dir and epoch == start_epoch:
-            with jax.profiler.trace(profile_dir):
-                state, tm = run_epoch(train_step, state, train_loader,
-                                      mesh, rng, epoch, cfg, train=True,
-                                      writer=writer)
-        else:
-            state, tm = run_epoch(train_step, state, train_loader, mesh,
-                                  rng, epoch, cfg, train=True,
-                                  writer=writer)
-        _, vm = run_epoch(eval_step, state, valid_loader, mesh, rng,
-                          epoch, cfg, train=False, writer=writer)
-        is_best = vm["auc"] >= best_auc
-        if is_best:
-            best_auc = vm["auc"]
-        if (not cfg.save_best) or is_best:
-            ckpt_lib.save_checkpoint(state, save_dir, epoch,
-                                     is_best=is_best)
-        summary = {"epoch": epoch, "train": tm, "valid": vm,
-                   "best_auc": best_auc, "save_dir": save_dir}
+    guard = (PreemptionGuard() if cfg.handle_preemption
+             else PreemptionGuard(signals=()))
+    with guard:
+        for epoch in range(start_epoch, n_epochs or cfg.n_epochs):
+            train_loader.set_epoch(epoch)
+            print(save_dir)
+            if profile_dir and epoch == start_epoch:
+                with jax.profiler.trace(profile_dir):
+                    state, tm = run_epoch(train_step, state, train_loader,
+                                          mesh, rng, epoch, cfg, train=True,
+                                          writer=writer, guard=guard)
+            else:
+                state, tm = run_epoch(train_step, state, train_loader, mesh,
+                                      rng, epoch, cfg, train=True,
+                                      writer=writer, guard=guard)
+            if guard.requested:
+                # preempted mid-epoch: persist progress as checkpoint_last
+                # with next_epoch=epoch so --resume re-runs the interrupted
+                # epoch (full data coverage; re-seen batches are harmless)
+                ckpt_lib.save_checkpoint(state, save_dir, epoch,
+                                         is_best=False, next_epoch=epoch)
+                summary = {"epoch": epoch, "train": tm, "best_auc": best_auc,
+                           "save_dir": save_dir, "preempted": True}
+                print(f"=> preemption: checkpointed epoch {epoch}, exiting")
+                break
+            _, vm = run_epoch(eval_step, state, valid_loader, mesh, rng,
+                              epoch, cfg, train=False, writer=writer)
+            is_best = vm["auc"] >= best_auc
+            if is_best:
+                best_auc = vm["auc"]
+            if (not cfg.save_best) or is_best:
+                ckpt_lib.save_checkpoint(state, save_dir, epoch,
+                                         is_best=is_best)
+            summary = {"epoch": epoch, "train": tm, "valid": vm,
+                       "best_auc": best_auc, "save_dir": save_dir}
     writer.close()
     return summary
