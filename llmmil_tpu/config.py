@@ -216,6 +216,17 @@ class Config:
     # ops/pallas/conv3x3 MXU kernels (fwd + custom VJP).  Measured ruling
     # in BENCH_NOTES r3.
     ct_conv_backend: str = "xla"
+    # Forward lowering for the depth-folded temporal convs.  'conv3d'
+    # emits the FORWARD as a native 3-D conv while both gradients stay on
+    # the dfold 2-D emitters via custom_vjp.  Measured ruling (BENCH_NOTES
+    # r3, scripts/bench_dpack3d.py + bench_train --eval A/B): the 3-D fwd
+    # emitter wins in ISOLATION (12.0 vs 16.4 ms/conv — the fold concat
+    # costs ~5 ms from cold HBM) but LOSES in-model (eval 83 vs 72 ms)
+    # because XLA fuses the fold into the preceding BN/relu producers,
+    # making it nearly free in context.  'fold' stays the default; the
+    # hybrid stays in-tree, parity-tested, as the recorded negative
+    # result.
+    ct_fwd_lowering: str = "fold"
     ct_shape: List[int] = field(default_factory=lambda: [160, 512, 512])
     # Decoded-CT cache (beyond reference): "" = off; a directory path
     # stores each patient's packed volume (post gzip-decode + HU-normalise

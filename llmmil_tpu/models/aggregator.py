@@ -63,6 +63,7 @@ def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
         return ResnetMC3_18(spacing_xy=cfg.spacing[0], remat=cfg.ct_remat,
                             temporal_mode=cfg.ct_temporal_mode,
                             conv_backend=cfg.ct_conv_backend,
+                            fwd_lowering=cfg.ct_fwd_lowering,
                             dtype=dtype, **kw)
     if cfg.model_CT == "medicalNet":
         return MedicalNetFeatures(dtype=dtype, **kw)

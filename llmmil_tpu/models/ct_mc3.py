@@ -111,6 +111,22 @@ class DepthFoldedConv(nn.Module):
       slab adds.  The TPU conv emitters' efficiency tracks cout width
       (measured: cout 64 -> 21% MFU, 128 -> 47%, 512 -> 82%), so widening
       cout 64 -> 192 in MC3's layer1 is the fastest form.
+
+    ``fwd_lowering='conv3d'`` (dfold mode only): emit the FORWARD as a
+    native 3-D conv but keep the dfold 2-D emitters for both gradients,
+    via custom_vjp + ``jax.linear_transpose`` of the fold form (no primal
+    recompute in the backward).  Measured ruling (BENCH_NOTES r3): wins
+    in ISOLATION at MC3-layer1's shape (12.0 vs 16.4 ms — the fold
+    concat costs ~5 ms when fed from cold HBM) but LOSES in-model
+    (flagship eval 83 vs 72 ms; scripts/bench_train.py --eval A/B,
+    reproduced) because XLA fuses the fold concat into the preceding
+    BN/relu producers, making it nearly free in context while the 3-D
+    emitter's own forward is slower than the fused fold+2-D pipeline.
+    'fold' stays the default; the hybrid is kept parity-tested
+    (tests/test_depthfold.py) as the recorded negative result.
+    Low-channel inputs (cin < 8) always keep the fold form — XLA's 3-D
+    emitters pathologically relayout size-1/3 channel dims (the 21 GiB
+    stem buffer of round 1).
     """
     features: int
     kernel: tuple          # (kD, kH, kW), kD > 1
@@ -123,6 +139,8 @@ class DepthFoldedConv(nn.Module):
     conv_backend: str = "xla"   # 'pallas' routes 3x3 stride-1 folded convs
                                 # through ops/pallas/conv3x3 (MC3 layer1's
                                 # cout-64 shape, where XLA sits at ~21% MFU)
+    fwd_lowering: str = "fold"  # 'conv3d' swaps the dfold forward for the
+                                # native 3-D conv emitter (grads stay dfold)
 
     @nn.compact
     def __call__(self, x):
@@ -164,12 +182,49 @@ class DepthFoldedConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         if self.mode == "dfold":
-            parts = [xp[:, i:i + span:sd] for i in range(kd)]
-            y = jnp.concatenate(parts, axis=-1)       # (B,Dout,H,W,kd*C)
-            y = y.reshape(b * dout, h, w, kd * cin)
-            w2 = jnp.transpose(k, (1, 2, 0, 3, 4)).reshape(
-                kh, kw, kd * cin, self.features)
-            out = conv2d(y, w2)
+            def fold_form(xp_, k_):
+                parts = [xp_[:, i:i + span:sd] for i in range(kd)]
+                y = jnp.concatenate(parts, axis=-1)   # (B,Dout,H,W,kd*C)
+                y = y.reshape(b * dout, h, w, kd * cin)
+                w2 = jnp.transpose(k_, (1, 2, 0, 3, 4)).reshape(
+                    kh, kw, kd * cin, self.features)
+                return conv2d(y, w2)
+
+            use_pl = (self.conv_backend == "pallas_interpret"
+                      or (self.conv_backend == "pallas"
+                          and jax.default_backend() == "tpu"))
+            # the 3-D fwd emitter wins only at the half-lane cout-64
+            # shapes (12.0 vs 16.4 ms at layer1); at cout>=128 the fold
+            # form is already faster (1.98 vs 2.40 ms at the 128-ch
+            # temporal shape — scripts/bench_dpack3d.py stage sweep)
+            if (self.fwd_lowering == "conv3d" and not use_pl
+                    and cin >= 8 and self.features < 128):
+                def conv3d_form(xp_, k_):
+                    y = jax.lax.conv_general_dilated(
+                        xp_.astype(dt), k_, (sd, sh, sw),
+                        ((0, 0), (ph, ph), (pw, pw)),
+                        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+                    return y.reshape(b * dout, *y.shape[2:])
+
+                @jax.custom_vjp
+                def hybrid(xp_, k_):
+                    return conv3d_form(xp_, k_)
+
+                def hybrid_fwd(xp_, k_):
+                    return conv3d_form(xp_, k_), (xp_, k_)
+
+                def hybrid_bwd(res, g):
+                    xp_, k_ = res
+                    dxp = jax.linear_transpose(
+                        lambda a: fold_form(a, k_), xp_)(g)[0]
+                    dk = jax.linear_transpose(
+                        lambda w_: fold_form(xp_, w_), k_)(g)[0]
+                    return dxp, dk
+
+                hybrid.defvjp(hybrid_fwd, hybrid_bwd)
+                out = hybrid(xp, k)
+            else:
+                out = fold_form(xp, k)
         elif self.mode == "dshift":
             # one wide conv over every padded slice, cout = kd*F, then the
             # kd depth-shifted slabs sum:  out[do] = Σ_i y[do·sd + i, i·F:]
@@ -208,6 +263,7 @@ class _ConvBN(nn.Module):
                                     # over BOTH axes so stats equal the
                                     # global-batch DP step's (train/step.py)
     conv_backend: str = "xla"
+    fwd_lowering: str = "fold"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -218,6 +274,7 @@ class _ConvBN(nn.Module):
                                 use_bias=self.use_bias, dtype=self.dtype,
                                 shard_axis=self.shard_axis,
                                 conv_backend=self.conv_backend,
+                                fwd_lowering=self.fwd_lowering,
                                 name="conv")(x)
         elif (len(self.kernel) == 3 and self.kernel[0] > 1
                 and self.shard_axis is not None):
@@ -269,6 +326,7 @@ class BasicBlock3D(nn.Module):
     shard_axis: str | None = None
     bn_axes: tuple | None = None
     conv_backend: str = "xla"
+    fwd_lowering: str = "fold"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -281,12 +339,14 @@ class BasicBlock3D(nn.Module):
         y = _ConvBN(self.features, k, s, p, dtype=self.dtype,
                     temporal_mode=self.temporal_mode,
                     shard_axis=self.shard_axis, bn_axes=self.bn_axes,
-                    conv_backend=self.conv_backend, name="conv1")(x, train)
+                    conv_backend=self.conv_backend,
+                    fwd_lowering=self.fwd_lowering, name="conv1")(x, train)
         y = nn.relu(y)
         y = _ConvBN(self.features, k, (1, 1, 1), p, dtype=self.dtype,
                     temporal_mode=self.temporal_mode,
                     shard_axis=self.shard_axis, bn_axes=self.bn_axes,
-                    conv_backend=self.conv_backend, name="conv2")(y, train)
+                    conv_backend=self.conv_backend,
+                    fwd_lowering=self.fwd_lowering, name="conv2")(y, train)
         if x.shape[-1] != self.features or self.stride != 1:
             x = _ConvBN(self.features, (1, 1, 1), s, (0, 0, 0),
                         dtype=self.dtype, shard_axis=self.shard_axis,
@@ -310,15 +370,19 @@ class VideoResNetFeatures(nn.Module):
     shard_axis: str | None = None
     bn_axes: tuple | None = None
     conv_backend: str = "xla"
+    fwd_lowering: str = "fold"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # BasicStem: Conv(3→64, (3,7,7), s(1,2,2), p(1,3,3)) + BN + ReLU
+        # (cin=3: DepthFoldedConv's low-channel gate keeps the fold form
+        # regardless of fwd_lowering)
         x = nn.relu(_ConvBN(64, (3, 7, 7), (1, 2, 2), (1, 3, 3),
                             dtype=self.dtype,
                             temporal_mode=self.temporal_mode,
                             shard_axis=self.shard_axis,
                             bn_axes=self.bn_axes,
+                            fwd_lowering=self.fwd_lowering,
                             name="stem")(x, train))
         remat_block = nn.remat(BasicBlock3D, static_argnums=(2,))
         for i, (n_blocks, feats, temporal) in enumerate(
@@ -334,6 +398,7 @@ class VideoResNetFeatures(nn.Module):
                           shard_axis=self.shard_axis,
                           bn_axes=self.bn_axes,
                           conv_backend=self.conv_backend,
+                          fwd_lowering=self.fwd_lowering,
                           name=f"layer{i + 1}_{b}")(x, train)
         return x
 
@@ -352,6 +417,7 @@ class ResnetMC3_18(nn.Module):
     shard_axis: str | None = None
     bn_axes: tuple | None = None
     conv_backend: str = "xla"
+    fwd_lowering: str = "fold"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -378,7 +444,7 @@ class ResnetMC3_18(nn.Module):
             remat=self.remat, dtype=self.dtype,
             temporal_mode=self.temporal_mode, shard_axis=self.shard_axis,
             bn_axes=self.bn_axes, conv_backend=self.conv_backend,
-            name="trunk")(x, train)
+            fwd_lowering=self.fwd_lowering, name="trunk")(x, train)
 
 
 class MedicalNetFeatures(nn.Module):

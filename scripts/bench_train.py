@@ -32,6 +32,8 @@ def main(argv=None):
                    help="benchmark inference instead of training")
     p.add_argument("--remat", default="layer2",
                    help="ct_remat: all|early|layer2|none")
+    p.add_argument("--fwd-lowering", default="fold",
+                   help="ct_fwd_lowering: fold|conv3d (A/B'd in BENCH_NOTES r3)")
     ns = p.parse_args(argv)
 
     import jax
@@ -48,7 +50,8 @@ def main(argv=None):
                  loss="BCE+textCosSim", spacing=[0.6869, 0.6869, 3.0],
                  ct_shape=[ns.depth, ns.hw, ns.hw], ct_hw_override=ns.hw,
                  compute_dtype="bfloat16", learnablePrompt=1, n_ctx=8,
-                 ct_remat=ns.remat, batch_size=ns.batch)
+                 ct_remat=ns.remat, batch_size=ns.batch,
+                 ct_fwd_lowering=ns.fwd_lowering)
     model = build_model(cfg)
     rs = np.random.RandomState(0)
     b = ns.batch

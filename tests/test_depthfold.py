@@ -65,6 +65,74 @@ def test_depthfold_gradients_match_native(mode):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("kernel,stride,padding", CASES)
+def test_conv3d_fwd_lowering_matches_native(kernel, stride, padding):
+    """fwd_lowering='conv3d' (hybrid: 3-D fwd emitter + dfold grads via
+    custom_vjp) must match the native conv exactly — cin >= 8 engages the
+    hybrid; low-channel inputs silently keep the fold form."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 9, 12, 12, 8)), jnp.float32)
+    mod = DepthFoldedConv(4, kernel, stride, padding, mode="dfold",
+                          fwd_lowering="conv3d")
+    params = mod.init(jax.random.PRNGKey(1), x)
+    got = mod.apply(params, x)
+    ref = _native_conv3d(x, params["params"]["kernel"], stride, padding)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv3d_fwd_lowering_grads_are_the_fold_grads():
+    """The hybrid's backward must be the dfold backward: same ops
+    (linear_transpose of the fold graph), so gradients match the plain
+    dfold mode to float-roundoff AND the native conv to test tolerance."""
+    kernel, stride, padding = (3, 3, 3), (1, 1, 1), (1, 1, 1)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, 8, 8)), jnp.float32)
+    hyb = DepthFoldedConv(8, kernel, stride, padding, mode="dfold",
+                          fwd_lowering="conv3d")
+    fold = DepthFoldedConv(8, kernel, stride, padding, mode="dfold")
+    params = hyb.init(jax.random.PRNGKey(9), x)
+
+    def loss(m, p, xx):
+        return jnp.sum(m.apply(p, xx) ** 2)
+
+    gp_h, gx_h = jax.grad(loss, argnums=(1, 2))(hyb, params, x)
+    gp_f, gx_f = jax.grad(loss, argnums=(1, 2))(fold, params, x)
+    # same backward graph; the residual diff is the fp32-roundoff fwd
+    # delta propagating through the cotangent 2y
+    np.testing.assert_allclose(np.asarray(gx_h), np.asarray(gx_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gp_h["params"]["kernel"]),
+        np.asarray(gp_f["params"]["kernel"]), rtol=1e-4, atol=1e-4)
+
+    def loss_ref(k, xx):
+        return jnp.sum(_native_conv3d(xx, k, stride, padding) ** 2)
+
+    rk, rx = jax.grad(loss_ref, argnums=(0, 1))(
+        params["params"]["kernel"], x)
+    np.testing.assert_allclose(np.asarray(gx_h), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp_h["params"]["kernel"]),
+                               np.asarray(rk), rtol=1e-4, atol=1e-4)
+
+
+def test_mc3_conv3d_fwd_lowering_same_params_same_output():
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 16, 1)), jnp.float32)
+    base = ResnetMC3_18(remat=False)
+    hyb = ResnetMC3_18(remat=False, temporal_mode="dfold",
+                       fwd_lowering="conv3d")
+    variables = base.init(jax.random.PRNGKey(5), x)
+    v2 = hyb.init(jax.random.PRNGKey(5), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v2))
+    np.testing.assert_allclose(np.asarray(hyb.apply(variables, x)),
+                               np.asarray(base.apply(variables, x)),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("mode", ["dfold", "dsum", "dshift"])
 def test_mc3_temporal_mode_same_params_same_output(mode):
     """Same param tree, same numerics: a conv3d-trained checkpoint must be
