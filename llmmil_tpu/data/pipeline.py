@@ -211,7 +211,8 @@ class MultimodalDataset:
             learnable_prompt=bool(cfg.learnablePrompt), n_ctx=cfg.n_ctx)
         if self._tokenizer is None:
             from .tokenizer import ClipTokenizer
-            self._tokenizer = ClipTokenizer(cfg.bpe_vocab_path or None)
+            self._tokenizer = ClipTokenizer(cfg.bpe_vocab_path or None,
+                                            vocab_size=cfg.clip_vocab)
         # byte-level fallback emits ~1 token/char, so the 'single' clinical
         # sentence overflows 77 — truncate (real BPE vocab fits untruncated)
         return tokenize(prompts,

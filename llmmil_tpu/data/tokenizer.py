@@ -75,7 +75,19 @@ def _whitespace_clean(text: str) -> str:
 
 
 class ClipTokenizer:
-    def __init__(self, bpe_path: str | None = None):
+    """``vocab_size``: cap ids into a smaller embedding table (tiny test
+    configs set ``Config.clip_vocab`` to e.g. 64).  Regular ids map to
+    ``id % (vocab_size - 2)``; SOT/EOT become ``vocab_size - 2/-1`` so
+    EOT stays the maximum id and CLIP's argmax-EOT pooling invariant
+    holds.  Without it, fallback ids 49406/49407 overflow the table and
+    ``jnp.take``'s fill mode silently turns the embeddings — and every
+    downstream prob — into NaN (the bug tests/test_eval_int8.py caught).
+    ``None`` or >= 49408 (the real vocab): no remapping."""
+
+    def __init__(self, bpe_path: str | None = None,
+                 vocab_size: int | None = None):
+        self.vocab_size = (int(vocab_size)
+                           if vocab_size and vocab_size < 49408 else None)
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         base = list(self.byte_encoder.values())
@@ -100,10 +112,14 @@ class ClipTokenizer:
 
     @property
     def sot(self) -> int:
+        if self.vocab_size:
+            return self.vocab_size - 2
         return self.encoder["<|startoftext|>"]
 
     @property
     def eot(self) -> int:
+        if self.vocab_size:
+            return self.vocab_size - 1
         return self.encoder["<|endoftext|>"]
 
     def bpe(self, token: str) -> str:
@@ -155,6 +171,8 @@ class ClipTokenizer:
             token = "".join(self.byte_encoder[b]
                             for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+        if self.vocab_size:
+            ids = [i % (self.vocab_size - 2) for i in ids]
         return ids
 
     def decode(self, ids: Sequence[int]) -> str:

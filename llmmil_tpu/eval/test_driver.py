@@ -16,6 +16,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -52,7 +53,8 @@ def roc_curve_plot(labels, scores, out_png: Optional[str] = None):
 
 def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
              state=None, out_dir: Optional[str] = None,
-             mode: Optional[str] = None, ct_depth_shard: int = 0) -> Dict:
+             mode: Optional[str] = None, ct_depth_shard: int = 0,
+             ct_int8: int = 0) -> Dict:
     """Run inference over a loader; returns metrics + per-patient table.
 
     ``ct_depth_shard=N``: run CT feature extraction depth-sharded over an
@@ -60,6 +62,12 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     parallelism) — the beyond-reference path that scales the reference's
     timed batch-1 metric (test_ddp.py:214-234) with chips.  Numerically
     identical to the unsharded path (tests/test_eval_depth_shard.py).
+
+    ``ct_int8=N``: post-training int8 quantization of the CT trunk
+    (``eval/quant.py``, beyond reference) — calibrated on the first N
+    volumes of the loader, then every patient's CT features come from the
+    s8xs8->s32 MXU path (~2x the bf16 conv rate on v5e).  Approximate
+    (quantization error); mutually exclusive with ``ct_depth_shard``.
     """
     mode = mode or cfg.mode
     model = build_model(cfg)
@@ -73,14 +81,37 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
             state, _ = ckpt_lib.resume(state, checkpoint_path)
             print(f"=> loaded checkpoint '{checkpoint_path}'")
 
+    if ct_depth_shard and ct_int8:
+        raise ValueError("ct_depth_shard and ct_int8 are mutually "
+                         "exclusive CT serving modes")
     mesh = None
     if ct_depth_shard:
         from ..parallel import make_mesh
         from ..parallel.sp_ct import flagship_ct_features  # noqa: F401
         mesh = make_mesh((ct_depth_shard,), ("depth",))
 
+    qpack = None
+    qdt = (jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype
+           else jnp.float32)
+    if ct_int8:
+        from .quant import calibrate_ct_trunk, quantize_ct_trunk
+        variables = {"params": state.params}
+        if state.batch_stats is not None and jax.tree_util.tree_leaves(
+                state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        calib = []
+        for batch in loader:
+            if "input_CT" in batch:
+                calib.append(batch["input_CT"])
+            if len(calib) >= ct_int8:
+                break
+        scales = calibrate_ct_trunk(cfg, variables, calib, dtype=qdt)
+        qpack = quantize_ct_trunk(cfg, variables, scales, dtype=qdt)
+        print(f"=> int8 CT trunk calibrated on {len(calib)} volume(s), "
+              f"{len(qpack['kq'])} quantized conv sites")
+
     @jax.jit
-    def forward(params, batch_stats, batch):
+    def forward(params, batch_stats, batch, qp):
         variables = {"params": params}
         if batch_stats is not None and jax.tree_util.tree_leaves(
                 batch_stats):
@@ -89,6 +120,11 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
             from ..parallel.sp_ct import flagship_ct_features
             feat = flagship_ct_features(cfg, variables, batch["input_CT"],
                                         mesh)
+            batch = {k: v for k, v in batch.items() if k != "input_CT"}
+            batch = dict(batch, ct_features=feat)
+        elif qp is not None and "input_CT" in batch:
+            from .quant import run_trunk_int8
+            feat = run_trunk_int8(cfg, qp, batch["input_CT"], dtype=qdt)
             batch = {k: v for k, v in batch.items() if k != "input_CT"}
             batch = dict(batch, ct_features=feat)
         return model.apply(variables, batch, train=False)["probs"]
@@ -108,11 +144,11 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
         key = shape_key(db)
         if key not in warmed:
             jax.block_until_ready(
-                forward(state.params, state.batch_stats, db))
+                forward(state.params, state.batch_stats, db, qpack))
             warmed.add(key)
         t0 = time.perf_counter()
         p = np.asarray(jax.block_until_ready(
-            forward(state.params, state.batch_stats, db)))
+            forward(state.params, state.batch_stats, db, qpack)))
         # per-PATIENT time (the reference's metric runs batch 1,
         # test_ddp.py:73) — normalise by the batch size
         times.append((time.perf_counter() - t0) / n_in_batch)
@@ -123,6 +159,12 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
 
     probs1 = np.asarray(probs1)
     labels = np.asarray(labels)
+    n_bad = int(np.sum(~np.isfinite(probs1)))
+    if n_bad:
+        # NaN probs poison every metric while comparing equal under
+        # equal_nan tolerances — say it loudly (caught a real tokenizer
+        # OOB-embedding bug, tests/test_eval_int8.py)
+        print(f"WARNING: {n_bad}/{probs1.size} non-finite probabilities")
     out_dir = out_dir or "."
     os.makedirs(out_dir, exist_ok=True)
     # config provenance in the Predictions dir (test_ddp.py:137-139)

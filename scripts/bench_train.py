@@ -34,6 +34,9 @@ def main(argv=None):
                    help="ct_remat: all|early|layer2|none")
     p.add_argument("--fwd-lowering", default="fold",
                    help="ct_fwd_lowering: fold|conv3d (A/B'd in BENCH_NOTES r3)")
+    p.add_argument("--ct-int8", action="store_true",
+                   help="eval with the int8-quantized CT trunk "
+                        "(eval/quant.py; implies --eval)")
     ns = p.parse_args(argv)
 
     import jax
@@ -77,7 +80,30 @@ def main(argv=None):
           flush=True)
 
     rng = jax.random.PRNGKey(1)
-    if ns.eval:
+    if ns.ct_int8:
+        from llmmil_tpu.eval.quant import (calibrate_ct_trunk,
+                                           quantize_ct_trunk,
+                                           run_trunk_int8)
+        qdt = jnp.bfloat16
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        t0 = time.perf_counter()
+        scales = calibrate_ct_trunk(cfg, variables, [batch["input_CT"]],
+                                    dtype=qdt)
+        qpack = quantize_ct_trunk(cfg, variables, scales, dtype=qdt)
+        print(f"int8 calib+quant {time.perf_counter() - t0:.1f}s, "
+              f"{len(qpack['kq'])} sites", flush=True)
+        estep = make_eval_step(cfg)
+
+        @jax.jit
+        def int8_step(state, batch, qpack):
+            feat = run_trunk_int8(cfg, qpack, batch["input_CT"], dtype=qdt)
+            b2 = {k: v for k, v in batch.items() if k != "input_CT"}
+            return estep(state, dict(b2, ct_features=feat))["loss"]
+
+        def once(state, batch):
+            return int8_step(state, batch, qpack)
+    elif ns.eval:
         step = make_eval_step(cfg)
 
         def once(state, batch):
@@ -106,7 +132,8 @@ def main(argv=None):
     d1 = run_k(1)
     dk = run_k(1 + ns.iters)
     step_t = (dk - d1) / ns.iters
-    mode = "eval" if ns.eval else "train"
+    mode = ("int8-eval" if ns.ct_int8 else
+            "eval" if ns.eval else "train")
     print(f"{mode} step: {step_t * 1e3:.1f} ms "
           f"({b / step_t:.2f} samples/s)", flush=True)
 

@@ -25,6 +25,9 @@ def main(argv=None):
     # depth axis over N devices — scales the reference's timed batch-1
     # metric (test_ddp.py:214-234) with chips; 0 = unsharded
     parser.add_argument("--ct_depth_shard", type=int, default=0)
+    parser.add_argument("--ct_int8", type=int, default=0,
+                        help="post-training int8 CT trunk, calibrated on "
+                             "the first N volumes (eval/quant.py)")
     ns = parser.parse_args(argv)
 
     import jax
@@ -62,7 +65,8 @@ def main(argv=None):
         out_dir = os.path.join(cfg.save_dir, "Predictions", "untrained")
 
     res = evaluate(cfg, loader, checkpoint_path=ckpt, out_dir=out_dir,
-                   mode=mode, ct_depth_shard=ns.ct_depth_shard)
+                   mode=mode, ct_depth_shard=ns.ct_depth_shard,
+                   ct_int8=ns.ct_int8)
     print(f"AUC {res['auc']:.4f}  ACC {res['acc']:.4f}  "
           f"prec {res['precision']:.4f}  rec {res['recall']:.4f}  "
           f"thr {res['threshold']:.4f}  "

@@ -31,6 +31,10 @@ def test_evaluate_depth_sharded_matches_unsharded(tmp_path):
     res8 = evaluate(cfg, loader, out_dir=str(tmp_path / "p8"), mode="test",
                     ct_depth_shard=8)
     assert list(res0["table"]["ID"]) == list(res8["table"]["ID"])
+    # finiteness first: assert_allclose treats NaN==NaN as equal, which
+    # silently passed while OOB fallback-tokenizer ids NaN'd the CLIP
+    # embeddings (fixed in data/tokenizer.py::ClipTokenizer vocab_size)
+    assert np.all(np.isfinite(res0["table"]["prob"].to_numpy()))
     np.testing.assert_allclose(res8["table"]["prob"].to_numpy(),
                                res0["table"]["prob"].to_numpy(),
                                atol=1e-5, rtol=1e-5)
