@@ -76,7 +76,7 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
                  else next(iter(loader)))
         init_batch = {k: v for k, v in first.items() if k != "ID"}
         state = create_train_state(model, cfg, init_batch,
-                                   jax.random.PRNGKey(0))
+                                   jax.random.PRNGKey(0), jit_init=True)
         if checkpoint_path:
             state, _ = ckpt_lib.resume(state, checkpoint_path)
             print(f"=> loaded checkpoint '{checkpoint_path}'")

@@ -155,7 +155,8 @@ def fit(cfg: Config, train_loader, valid_loader,
     init_batch = {k: v for k, v in first.items() if k != "ID"}
     rng = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(model, cfg, init_batch, rng,
-                               steps_per_epoch=len(train_loader))
+                               steps_per_epoch=len(train_loader),
+                               jit_init=True)
 
     start_epoch = cfg.start_epoch
     if cfg.resume:

@@ -93,6 +93,27 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_jit_init_matches_eager_init(tmp_path):
+    """create_train_state(jit_init=True) must produce the identical param
+    tree as eager init from the same rng — fit()/evaluate() use the jitted
+    path in production (one XLA program instead of per-op dispatch through
+    the device tunnel)."""
+    cfg = _cfg(tmp_path)
+    syn = SyntheticCohort(cfg, n_per_hospital=4, seed=4)
+    batch = next(iter(BatchLoader(syn.dataset(cfg, "train"), 4,
+                                  prefetch=0)))
+    init = {k: v for k, v in batch.items() if k != "ID"}
+    model = build_model(cfg)
+    eager = create_train_state(model, cfg, init, jax.random.PRNGKey(0))
+    jitted = create_train_state(model, cfg, init, jax.random.PRNGKey(0),
+                                jit_init=True)
+    fa = jax.tree_util.tree_flatten_with_path(eager.params)[0]
+    fb = jax.tree_util.tree_flatten_with_path(jitted.params)[0]
+    assert [p for p, _ in fa] == [p for p, _ in fb]
+    for (_, a), (_, b) in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_resume_from_checkpoint(tmp_path):
     """--resume semantics (train_ddp.py:120-143): continue from
     checkpoint_last with epoch offset and identical params."""
