@@ -231,8 +231,8 @@ class Config:
     # Decoded-CT cache (beyond reference): "" = off; a directory path
     # stores each patient's packed volume (post gzip-decode + HU-normalise
     # + crop/pad, PRE-augmentation) as raw .npy, written atomically on
-    # first miss.  Later epochs mmap-read instead of re-paying the
-    # ~1.2 s/volume decode+pack (BENCH_NOTES r3 input-pipeline table).
+    # first miss.  Later epochs do one buffered read (47 ms) instead of
+    # re-paying the ~1.2 s/volume decode+pack (BENCH_NOTES r3 table).
     ct_cache_dir: str = ""
     save_dir: str = "results"
     log_every: int = 10

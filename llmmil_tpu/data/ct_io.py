@@ -57,9 +57,14 @@ def gzip_decompress(data: bytes) -> bytes:
             import ctypes
             lib = ctypes.CDLL("libdeflate.so.0")
             lib.libdeflate_alloc_decompressor.restype = ctypes.c_void_p
-            lib.libdeflate_gzip_decompress.argtypes = [
+            # the _ex variant also reports bytes CONSUMED — the only way
+            # to tell a fully-decoded single-member stream from a
+            # multi-member one whose first member happens to match the
+            # trailer ISIZE (which is the LAST member's size, RFC 1952)
+            lib.libdeflate_gzip_decompress_ex.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
                 ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
                 ctypes.POINTER(ctypes.c_size_t)]
             _LIBDEFLATE.append(lib)
         except Exception:                                # pragma: no cover
@@ -75,49 +80,46 @@ def gzip_decompress(data: bytes) -> bytes:
             # decompress straight into a numpy buffer: .raw on a ctypes
             # buffer would memcpy the whole volume (~100 ms at 113 MB)
             out = np.empty(isize, np.uint8)
-            n = ctypes.c_size_t(0)
-            rc = lib.libdeflate_gzip_decompress(
+            n_in = ctypes.c_size_t(0)
+            n_out = ctypes.c_size_t(0)
+            rc = lib.libdeflate_gzip_decompress_ex(
                 dec, data, len(data),
                 out.ctypes.data_as(ctypes.c_void_p), isize,
-                ctypes.byref(n))
-            if rc == 0 and n.value == isize:
+                ctypes.byref(n_in), ctypes.byref(n_out))
+            # n_in < len(data): more members (or trailing pad) follow —
+            # only trust the fast path when it consumed everything but
+            # zero padding (bgzip's EOF convention)
+            leftover = data[n_in.value:]
+            if (rc == 0 and n_out.value == isize
+                    and (not leftover or not any(leftover))):
                 return out
     import zlib
-    return zlib.decompress(data, wbits=31)
+
+    # Multi-member streams are legal gzip (RFC 1952 §2.2: bgzip output,
+    # chunk-wise recompression); zlib.decompress(wbits=31) would silently
+    # return only the FIRST member, so walk the members explicitly.
+    out = []
+    buf = data
+    while buf:
+        if len(buf) < 18 or bytes(buf[:2]) != b"\x1f\x8b":
+            break                   # trailing pad/garbage after last member
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(buf))
+        out.append(d.flush())
+        buf = d.unused_data
+    if not out:
+        raise ValueError("not a gzip stream")
+    return out[0] if len(out) == 2 and not out[1] else b"".join(out)
 
 
 def read_nifti(path: str) -> np.ndarray:
     """Minimal NIfTI-1 reader returning the raw voxel array in (Z, Y, X)
     order (matching ``sitk.GetArrayFromImage``'s axis convention)."""
+    with open(path, "rb") as f:
+        buf = f.read()
     if path.endswith(".gz"):
-        with open(path, "rb") as f:
-            buf = gzip_decompress(f.read())
-        return _parse_nifti(buf, path)
-    opener = open
-    with opener(path, "rb") as f:
-        hdr = f.read(348)
-        sizeof_hdr = struct.unpack("<i", hdr[:4])[0]
-        if sizeof_hdr != 348:
-            raise ValueError(f"{path}: not a NIfTI-1 file")
-        dim = struct.unpack("<8h", hdr[40:56])
-        datatype = struct.unpack("<h", hdr[70:72])[0]
-        vox_offset = int(struct.unpack("<f", hdr[108:112])[0])
-        scl_slope = struct.unpack("<f", hdr[112:116])[0]
-        scl_inter = struct.unpack("<f", hdr[116:120])[0]
-        ndim = dim[0]
-        shape = tuple(dim[1:1 + ndim])          # (X, Y, Z, ...)
-        dtype = _NIFTI_DTYPES.get(datatype)
-        if dtype is None:
-            raise ValueError(f"{path}: unsupported NIfTI dtype {datatype}")
-        f.read(max(vox_offset - 348, 0))
-        count = int(np.prod(shape))
-        data = np.frombuffer(f.read(count * np.dtype(dtype).itemsize),
-                             dtype=dtype, count=count)
-    arr = data.reshape(shape, order="F")        # NIfTI is Fortran-ordered
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        arr = arr * (scl_slope or 1.0) + scl_inter
-    # (X, Y, Z[, ...]) → (Z, Y, X) like GetArrayFromImage
-    return np.ascontiguousarray(np.transpose(arr.squeeze()))
+        buf = gzip_decompress(buf)
+    return _parse_nifti(buf, path)
 
 
 def _parse_nifti(buf: bytes, path: str) -> np.ndarray:

@@ -85,9 +85,13 @@ class MultimodalDataset:
         else:
             cache = self._ct_cache_path(row)
             if cache and os.path.exists(cache):
-                # decoded-CT cache hit: one mmap-backed read replaces the
-                # ~1.2 s/volume gzip-decode + HU-normalise + crop/pad
-                # (BENCH_NOTES r3); contents are the packed float32 volume
+                # decoded-CT cache hit: one buffered .npy read (47 ms at
+                # production size, BENCH_NOTES r3) replaces the ~1.2 s/
+                # volume gzip-decode + HU-normalise + crop/pad; contents
+                # are the packed float32 volume.  A plain buffered read,
+                # not mmap: every byte is consumed immediately by the
+                # augment/astype pass, so mmap would only defer the same
+                # I/O behind page faults.
                 img = np.load(cache, mmap_mode=None)
             else:
                 sx, sy, sz = cfg.spacing

@@ -93,18 +93,28 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     qpack = None
     qdt = (jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype
            else jnp.float32)
+    eval_batches = loader
     if ct_int8:
+        import itertools
+
         from .quant import calibrate_ct_trunk, quantize_ct_trunk
         variables = {"params": state.params}
         if state.batch_stats is not None and jax.tree_util.tree_leaves(
                 state.batch_stats):
             variables["batch_stats"] = state.batch_stats
-        calib = []
-        for batch in loader:
+        # pull the calibration batches off the front of ONE iterator and
+        # chain them back for the eval loop — each batch costs a full
+        # host decode (~0.75-1.6 s/sample, BENCH_NOTES r3), so re-decoding
+        # the calibration head would double-pay it
+        it = iter(loader)
+        head, calib = [], []
+        for batch in it:
+            head.append(batch)
             if "input_CT" in batch:
                 calib.append(batch["input_CT"])
             if len(calib) >= ct_int8:
                 break
+        eval_batches = itertools.chain(head, it)
         scales = calibrate_ct_trunk(cfg, variables, calib, dtype=qdt)
         qpack = quantize_ct_trunk(cfg, variables, scales, dtype=qdt)
         print(f"=> int8 CT trunk calibrated on {len(calib)} volume(s), "
@@ -135,7 +145,7 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
 
     ids, probs1, labels, times = [], [], [], []
     warmed = set()
-    for batch in loader:
+    for batch in eval_batches:
         db = {k: v for k, v in batch.items() if k != "ID"}
         n_in_batch = batch["label"].shape[0]
         # explicit per-shape warm-up: each (bag bucket × batch size) shape

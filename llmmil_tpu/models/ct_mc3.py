@@ -166,12 +166,15 @@ class DepthFoldedConv(nn.Module):
         dt = self.dtype
         k = k.astype(dt)
 
+        # 'pallas' gates on a TPU backend (the kernel is Mosaic-only);
+        # 'pallas_interpret' forces the interpreter for CPU tests.  One
+        # gate shared by conv2d and the conv3d-hybrid suppression below —
+        # they must always agree on the backend in use.
+        use_pl = (self.conv_backend == "pallas_interpret"
+                  or (self.conv_backend == "pallas"
+                      and jax.default_backend() == "tpu"))
+
         def conv2d(inp, ker):
-            # 'pallas' gates on a TPU backend (the kernel is Mosaic-only);
-            # 'pallas_interpret' forces the interpreter for CPU tests
-            use_pl = (self.conv_backend == "pallas_interpret"
-                      or (self.conv_backend == "pallas"
-                          and jax.default_backend() == "tpu"))
             if (use_pl and ker.shape[:2] == (3, 3)
                     and (sh, sw) == (1, 1) and (ph, pw) == (1, 1)):
                 from ..ops.pallas.conv3x3 import conv3x3
@@ -190,9 +193,6 @@ class DepthFoldedConv(nn.Module):
                     kh, kw, kd * cin, self.features)
                 return conv2d(y, w2)
 
-            use_pl = (self.conv_backend == "pallas_interpret"
-                      or (self.conv_backend == "pallas"
-                          and jax.default_backend() == "tpu"))
             # the 3-D fwd emitter wins only at the half-lane cout-64
             # shapes (12.0 vs 16.4 ms at layer1); at cout>=128 the fold
             # form is already faster (1.98 vs 2.40 ms at the 128-ch

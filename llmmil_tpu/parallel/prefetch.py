@@ -51,6 +51,12 @@ def prefetch_to_device(iterable: Iterable[Any], size: int = 2,
                       else jax.tree_util.tree_map(jax.device_put, arrays))
             if "ID" in batch:
                 placed["ID"] = batch["ID"]
+            if "label" in batch:
+                # keep the host-side label too: the train loop's metric
+                # drain reads labels on host every batch, and fetching a
+                # placed label back costs a d2h round trip (~30 ms through
+                # the tunnel) per batch
+                placed["_host_label"] = batch["label"]
             return placed
         return (shard_batch(batch, mesh, axis) if mesh is not None
                 else jax.tree_util.tree_map(jax.device_put, batch))

@@ -103,14 +103,17 @@ def run_epoch(step_fn, state, loader, mesh, rng, epoch: int, cfg: Config,
         batches = prefetch_to_device(loader, cfg.device_prefetch, mesh)
     for i, batch in enumerate(batches):
         data_time.update(time.time() - end)
-        n = batch["label"].shape[0]
+        # prefetched batches carry the original host-side label so the
+        # metric drain never pays a per-batch d2h fetch
+        host_label = batch.pop("_host_label", batch["label"])
+        n = host_label.shape[0]
         n_batches += 1
         db = _device_batch(batch, mesh)
         if train:
             state, metrics = step_fn(state, db, rng)
         else:
             metrics = step_fn(state, db)
-        pending.append((n, metrics, batch["label"]))
+        pending.append((n, metrics, host_label))
         batch_time.update(time.time() - end)
         end = time.time()
         if i % cfg.log_every == 0:
@@ -213,7 +216,19 @@ def fit(cfg: Config, train_loader, valid_loader,
                 print(f"=> preemption: checkpointed epoch {epoch}, exiting")
                 break
             _, vm = run_epoch(eval_step, state, valid_loader, mesh, rng,
-                              epoch, cfg, train=False, writer=writer)
+                              epoch, cfg, train=False, writer=writer,
+                              guard=guard)
+            if guard.requested:
+                # preempted during validation: the train epoch completed,
+                # so --resume continues at epoch+1; the truncated valid
+                # metrics must not drive best-AUC selection
+                ckpt_lib.save_checkpoint(state, save_dir, epoch,
+                                         is_best=False)
+                summary = {"epoch": epoch, "train": tm, "best_auc": best_auc,
+                           "save_dir": save_dir, "preempted": True}
+                print(f"=> preemption during validation: checkpointed "
+                      f"epoch {epoch}, exiting")
+                break
             is_best = vm["auc"] >= best_auc
             if is_best:
                 best_auc = vm["auc"]

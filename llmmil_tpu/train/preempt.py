@@ -5,9 +5,10 @@ The reference has no failure/preemption handling of any kind (SURVEY §5:
 since the last per-epoch checkpoint and must be restarted by hand with
 ``--resume``.  TPU pods are routinely preempted (maintenance, reservations),
 so this framework treats it as a first-class event: a :class:`PreemptionGuard`
-installed around the epoch loop latches SIGTERM/SIGINT, the batch loop drains
-at the next step boundary, and ``fit()`` writes ``checkpoint_last`` before
-returning — the standard ``--resume`` path then continues the epoch.
+installed around the epoch loop latches SIGTERM (pass ``signals`` to add
+SIGINT or others), the batch loop drains at the next step boundary, and
+``fit()`` writes ``checkpoint_last`` before returning — the standard
+``--resume`` path then continues the epoch.
 
 Signal handlers only work on the main thread; when installed elsewhere (e.g.
 under pytest-xdist) the guard degrades to a manual flag (``request()``).

@@ -9,10 +9,11 @@ import pytest
 from llmmil_tpu.data.augment import (_rotate_inplane_nearest, rand_flip,
                                      rand_gaussian_noise, rand_rotate)
 
-scipy_ndimage = pytest.importorskip("scipy.ndimage")
-
-
 def test_rotate_matches_scipy_pixel_exact():
+    # only THIS test needs scipy (the production path is scipy-free by
+    # design — a module-level skip would silence the scipy-free tests
+    # below exactly on the hosts they were built for)
+    scipy_ndimage = pytest.importorskip("scipy.ndimage")
     rng = np.random.RandomState(0)
     for _ in range(20):
         deg = float(rng.uniform(-10, 10))

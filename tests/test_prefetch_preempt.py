@@ -43,6 +43,11 @@ def test_prefetch_preserves_batches_and_order(tmp_path):
                                       size=2))
     assert len(fetched) == len(direct)
     for want, got in zip(direct, fetched):
+        # host-side label passthrough: the metric drain must never pay a
+        # per-batch d2h fetch for labels
+        host_label = got.pop("_host_label")
+        assert not isinstance(host_label, jax.Array)
+        np.testing.assert_array_equal(host_label, want["label"])
         assert set(want.keys()) == set(got.keys())
         assert got["ID"] == want["ID"]               # passthrough untouched
         for k in want:
@@ -169,6 +174,29 @@ def test_fit_checkpoints_on_preemption_and_resumes(tmp_path):
     assert s2.get("preempted") is None
     assert s2["epoch"] == 0
     assert np.isfinite(s2["train"]["loss"])
+
+
+def test_fit_checkpoints_on_preemption_during_validation(tmp_path):
+    """SIGTERM landing in the VALIDATION pass must also checkpoint and
+    exit — before this was wired, fit() would finish validation, skip the
+    non-best save, and only react one train step into the next epoch
+    (losing the whole epoch if the scheduler SIGKILLs meanwhile)."""
+    from llmmil_tpu.train.loop import fit
+
+    cfg = _cfg(tmp_path, n_epochs=50, device_prefetch=0)
+    syn = SyntheticCohort(cfg, n_per_hospital=8, seed=27)
+    tl = BatchLoader(syn.dataset(cfg, "train"), 4, shuffle=True,
+                     drop_last=True, prefetch=0)
+    vl = _KillAfter(BatchLoader(syn.dataset(cfg, "valid"), 4, prefetch=0),
+                    n=0)
+    summary = fit(cfg, tl, vl, use_mesh=False)
+    assert summary.get("preempted") is True
+    assert summary["epoch"] == 0
+    ckpt = os.path.join(summary["save_dir"], "checkpoint_last.msgpack")
+    assert os.path.exists(ckpt)
+    # the train epoch DID complete: resume continues at epoch 1
+    from llmmil_tpu.train import checkpoint as ck
+    assert ck.load_checkpoint(summary["save_dir"])["epoch"] == 1
 
 
 def test_fit_handle_preemption_off_ignores_nothing(tmp_path):

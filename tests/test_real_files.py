@@ -229,3 +229,31 @@ def test_gzip_decompress_thread_safety():
         outs = list(pool.map(gzip_decompress, gzs * 6))
     for got, want in zip(outs, payloads * 6):
         assert bytes(got) == want
+
+
+def test_gzip_decompress_multi_member(tmp_path):
+    """Multi-member gzip is legal (RFC 1952: bgzip output, chunk-wise
+    recompression) — all members must be decoded, not just the first
+    (zlib.decompress(wbits=31) silently stops after member one)."""
+    import gzip
+
+    from llmmil_tpu.data.ct_io import gzip_decompress, read_nifti, \
+        write_nifti
+
+    a = np.random.RandomState(0).bytes(100_000)
+    b = np.random.RandomState(1).bytes(50_000)
+    two = gzip.compress(a) + gzip.compress(b)
+    assert bytes(gzip_decompress(two)) == a + b
+    # trailing zero padding after the last member (bgzip EOF convention)
+    assert bytes(gzip_decompress(two + b"\x00" * 16)) == a + b
+
+    # a .nii.gz whose payload is split across two members end-to-end
+    vol = (np.random.RandomState(2).rand(6, 8, 10) * 50).astype(np.float32)
+    plain = str(tmp_path / "v.nii")
+    write_nifti(plain, vol)
+    raw = open(plain, "rb").read()
+    cut = len(raw) // 2
+    with open(str(tmp_path / "v.nii.gz"), "wb") as f:
+        f.write(gzip.compress(raw[:cut]) + gzip.compress(raw[cut:]))
+    np.testing.assert_allclose(read_nifti(str(tmp_path / "v.nii.gz")),
+                               vol, atol=1e-6)
