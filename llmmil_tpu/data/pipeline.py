@@ -342,6 +342,15 @@ class BatchLoader:
         if self.sampler is not None:
             self.sampler.set_epoch(epoch)
 
+    def skip_next(self, n_batches: int) -> None:
+        """Skip the first ``n_batches`` of the NEXT iteration only — the
+        mid-epoch resume hook (train/loop.py).  The epoch's index order is
+        deterministic per ``set_epoch`` and augmentation randomness is per
+        (epoch, index), so dropping the first ``n·batch_size`` indices
+        reproduces the interrupted epoch's remaining batches exactly,
+        without paying the skipped samples' host decode."""
+        self._skip_once = int(n_batches)
+
     def __len__(self) -> int:
         n = len(self.sampler) if self.sampler is not None else len(self.ds)
         return n // self.batch_size if self.drop_last \
@@ -378,6 +387,10 @@ class BatchLoader:
         idx = self._indices()
         if self.drop_last:
             idx = idx[:len(idx) - len(idx) % self.batch_size]
+        skip = getattr(self, "_skip_once", 0)
+        if skip:
+            self._skip_once = 0               # one-shot: next epoch is full
+            idx = idx[skip * self.batch_size:]
         if self.num_workers > 1:
             # windowed CROSS-batch sample pipeline: per-sample futures with
             # a bounded in-flight window, yielded in order.  A per-batch

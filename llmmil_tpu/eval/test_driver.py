@@ -78,7 +78,7 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
         state = create_train_state(model, cfg, init_batch,
                                    jax.random.PRNGKey(0), jit_init=True)
         if checkpoint_path:
-            state, _ = ckpt_lib.resume(state, checkpoint_path)
+            state, _, _ = ckpt_lib.resume(state, checkpoint_path)
             print(f"=> loaded checkpoint '{checkpoint_path}'")
 
     if ct_depth_shard and ct_int8:

@@ -33,8 +33,11 @@ def _to_numpy(tree: Any) -> Any:
         lambda x: np.array(jax.device_get(x)), tree)
 
 
-def _ckpt_dict(state: TrainState, next_epoch: int) -> dict:
+def _ckpt_dict(state: TrainState, next_epoch: int,
+               batch_in_epoch: int = 0) -> dict:
     return {"epoch": next_epoch,
+            "step": int(state.step),
+            "batch_in_epoch": int(batch_in_epoch),
             "params": state.params,
             "opt_state": state.opt_state,
             "batch_stats": state.batch_stats or {}}
@@ -42,18 +45,22 @@ def _ckpt_dict(state: TrainState, next_epoch: int) -> dict:
 
 def save_checkpoint(state: TrainState, save_dir: str, epoch: int,
                     is_best: bool = False,
-                    next_epoch: int | None = None) -> str:
+                    next_epoch: int | None = None,
+                    batch_in_epoch: int = 0) -> str:
     """checkpoint_{epoch:04d} + checkpoint_last (+ checkpoint_best copy),
     host-0 gated (train_ddp.py:211-244).
 
     ``next_epoch`` overrides the resume point (default ``epoch + 1``, the
-    end-of-epoch convention): a mid-epoch preemption save passes ``epoch``
-    so --resume re-runs the interrupted epoch instead of skipping its
-    remaining batches."""
+    end-of-epoch convention); a mid-epoch preemption save passes ``epoch``
+    plus ``batch_in_epoch`` = the number of train batches already applied,
+    so --resume continues the interrupted epoch at the exact next batch
+    (the loader order is deterministic per epoch — see
+    ``BatchLoader.skip_next``)."""
     if jax.process_index() != 0:
         return ""
     ne = epoch + 1 if next_epoch is None else next_epoch
-    blob = serialization.to_bytes(_to_numpy(_ckpt_dict(state, ne)))
+    blob = serialization.to_bytes(
+        _to_numpy(_ckpt_dict(state, ne, batch_in_epoch)))
     path = os.path.join(save_dir, f"checkpoint_{epoch:04d}.msgpack")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -85,17 +92,29 @@ def load_checkpoint(path: str) -> dict:
         return serialization.msgpack_restore(f.read())
 
 
-def resume(state: TrainState, path: str) -> tuple[TrainState, int]:
-    """Restore params/opt_state/batch_stats + start epoch
-    (train_ddp.py:124-143) against the live state's pytree structure."""
+def resume(state: TrainState, path: str) -> tuple[TrainState, int, int]:
+    """Restore params/opt_state/batch_stats + step counter; returns
+    ``(state, start_epoch, start_batch)`` (train_ddp.py:124-143, extended
+    with the mid-epoch offset).
+
+    Restores structure-free first so checkpoints written before the
+    ``step``/``batch_in_epoch`` fields existed still load (missing fields
+    default to 0 — the old epoch-granular behavior)."""
     with open(_resolve(path), "rb") as f:
-        blob = f.read()
-    template = _ckpt_dict(state, 0)
-    ckpt = serialization.from_bytes(template, blob)
+        raw = serialization.msgpack_restore(f.read())
+    template = {"params": state.params,
+                "opt_state": state.opt_state,
+                "batch_stats": state.batch_stats or {}}
+    ckpt = serialization.from_state_dict(
+        template, {k: raw[k] for k in template})
     state = state.replace(params=ckpt["params"],
                           opt_state=ckpt["opt_state"],
-                          batch_stats=ckpt.get("batch_stats", {}))
-    return state, int(ckpt["epoch"])
+                          batch_stats=ckpt.get("batch_stats", {}),
+                          # step feeds the train step's dropout fold-in;
+                          # without it a resumed run would replay epoch-0
+                          # dropout masks
+                          step=int(raw.get("step", 0)))
+    return state, int(raw["epoch"]), int(raw.get("batch_in_epoch", 0))
 
 
 def restore_branch(state: TrainState, ckpt_path: str,

@@ -41,6 +41,8 @@ def _device_batch(batch: Dict, mesh) -> Dict:
 
 
 def _epoch_metrics(all_probs, all_labels, num_classes: int) -> Dict:
+    if not all_probs:            # zero batches ran (preempted immediately)
+        return {"acc": 0.0, "auc": 0.0, "precision": 0.0, "recall": 0.0}
     probs = np.concatenate(all_probs)
     labels = np.concatenate(all_labels)
     y = np.argmax(labels, -1)
@@ -136,6 +138,9 @@ def run_epoch(step_fn, state, loader, mesh, rng, epoch: int, cfg: Config,
     if writer is not None:
         writer.add_scalars(em, epoch, prefix=("train/" if train
                                               else "valid/"))
+    # after the writer: a batch count is bookkeeping for the preemption
+    # save (mid-epoch resume offset), not a metric scalar
+    em["n_batches"] = n_batches
     return state, em
 
 
@@ -162,9 +167,12 @@ def fit(cfg: Config, train_loader, valid_loader,
                                jit_init=True)
 
     start_epoch = cfg.start_epoch
+    resume_batch = 0
     if cfg.resume:
-        state, start_epoch = ckpt_lib.resume(state, cfg.resume)
-        print(f"=> resumed from '{cfg.resume}' (epoch {start_epoch})")
+        state, start_epoch, resume_batch = ckpt_lib.resume(state,
+                                                           cfg.resume)
+        print(f"=> resumed from '{cfg.resume}' (epoch {start_epoch}"
+              + (f", batch {resume_batch}" if resume_batch else "") + ")")
     else:
         for flag, path, branch in (
                 (cfg.pretrainedExt_CT, cfg.pretrainedExt_CT_pth,
@@ -196,6 +204,19 @@ def fit(cfg: Config, train_loader, valid_loader,
         for epoch in range(start_epoch, n_epochs or cfg.n_epochs):
             train_loader.set_epoch(epoch)
             print(save_dir)
+            # mid-epoch resume: skip the batches the preempted run already
+            # applied (deterministic order per set_epoch).  Loaders without
+            # the hook fall back to re-running the whole epoch (harmless).
+            epoch_offset = 0
+            if epoch == start_epoch and resume_batch:
+                if hasattr(train_loader, "skip_next"):
+                    train_loader.skip_next(resume_batch)
+                    epoch_offset = resume_batch
+                    print(f"=> mid-epoch resume: skipping the "
+                          f"{resume_batch} already-trained batches")
+                else:
+                    print("=> loader has no skip_next hook; re-running "
+                          "the interrupted epoch from batch 0")
             if profile_dir and epoch == start_epoch:
                 with jax.profiler.trace(profile_dir):
                     state, tm = run_epoch(train_step, state, train_loader,
@@ -207,13 +228,24 @@ def fit(cfg: Config, train_loader, valid_loader,
                                       writer=writer, guard=guard)
             if guard.requested:
                 # preempted mid-epoch: persist progress as checkpoint_last
-                # with next_epoch=epoch so --resume re-runs the interrupted
-                # epoch (full data coverage; re-seen batches are harmless)
-                ckpt_lib.save_checkpoint(state, save_dir, epoch,
-                                         is_best=False, next_epoch=epoch)
+                # with the exact batch offset so --resume continues the
+                # interrupted epoch at the next batch (no replayed or
+                # skipped samples).  Preemption on the last batch counts
+                # as a completed epoch (validation is sacrificed, as in
+                # the preempt-during-validation path below).
+                done = epoch_offset + tm["n_batches"]
+                if done >= len(train_loader):
+                    ckpt_lib.save_checkpoint(state, save_dir, epoch,
+                                             is_best=False)
+                else:
+                    ckpt_lib.save_checkpoint(state, save_dir, epoch,
+                                             is_best=False,
+                                             next_epoch=epoch,
+                                             batch_in_epoch=done)
                 summary = {"epoch": epoch, "train": tm, "best_auc": best_auc,
                            "save_dir": save_dir, "preempted": True}
-                print(f"=> preemption: checkpointed epoch {epoch}, exiting")
+                print(f"=> preemption: checkpointed epoch {epoch} at batch "
+                      f"{done}/{len(train_loader)}, exiting")
                 break
             _, vm = run_epoch(eval_step, state, valid_loader, mesh, rng,
                               epoch, cfg, train=False, writer=writer,

@@ -85,12 +85,39 @@ def test_checkpoint_roundtrip(tmp_path):
                                        "checkpoint_best.msgpack"))
 
     state2 = create_train_state(model, cfg, init, jax.random.PRNGKey(9))
-    state2, epoch = ckpt_lib.resume(
+    state2, epoch, start_batch = ckpt_lib.resume(
         state2, os.path.join(tmp_path, "checkpoint_best"))
     assert epoch == 1
+    assert start_batch == 0           # end-of-epoch save: no mid-epoch skip
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(state2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_resume_reads_legacy_checkpoint_without_step_fields(tmp_path):
+    """Checkpoints written before the ``step``/``batch_in_epoch`` fields
+    existed must still resume (missing fields default to 0 — the old
+    epoch-granular behavior)."""
+    from flax import serialization
+
+    cfg = _cfg(tmp_path)
+    syn = SyntheticCohort(cfg, n_per_hospital=4, seed=4)
+    batch = next(iter(BatchLoader(syn.dataset(cfg, "train"), 4,
+                                  prefetch=0)))
+    init = {k: v for k, v in batch.items() if k != "ID"}
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, init, jax.random.PRNGKey(0))
+    legacy = {"epoch": 3,
+              "params": jax.tree_util.tree_map(np.asarray, state.params),
+              "opt_state": jax.tree_util.tree_map(np.asarray,
+                                                  state.opt_state),
+              "batch_stats": state.batch_stats or {}}
+    path = os.path.join(str(tmp_path), "legacy.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(legacy))
+    state2, epoch, start_batch = ckpt_lib.resume(state, path)
+    assert (epoch, start_batch) == (3, 0)
+    assert int(state2.step) == 0
 
 
 def test_jit_init_matches_eager_init(tmp_path):

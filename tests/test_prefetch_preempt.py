@@ -176,6 +176,67 @@ def test_fit_checkpoints_on_preemption_and_resumes(tmp_path):
     assert np.isfinite(s2["train"]["loss"])
 
 
+class _Recorder:
+    """Loader wrapper recording the ID tuple of every yielded batch."""
+
+    def __init__(self, loader):
+        self.loader, self.seen = loader, []
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, e):
+        self.loader.set_epoch(e)
+
+    def skip_next(self, n):
+        self.loader.skip_next(n)
+
+    def first_batch(self):
+        return self.loader.first_batch()
+
+    def __iter__(self):
+        for b in self.loader:
+            self.seen.append(tuple(b["ID"]))
+            yield b
+
+
+def test_mid_epoch_resume_covers_each_batch_exactly_once(tmp_path):
+    """Preemption mid-epoch + --resume must continue the interrupted epoch
+    at the exact next batch: across the two runs every batch of the
+    epoch's deterministic order is trained exactly once — no replays
+    (biased sampling) and no holes (lost coverage)."""
+    from llmmil_tpu.train.loop import fit
+
+    cfg = _cfg(tmp_path, n_epochs=1, device_prefetch=0)
+    syn = SyntheticCohort(cfg, n_per_hospital=8, seed=33)
+
+    def make_loader():
+        return BatchLoader(syn.dataset(cfg, "train"), 4, shuffle=True,
+                           drop_last=True, prefetch=0)
+
+    full_ids = [tuple(b["ID"]) for b in make_loader()]
+    assert len(full_ids) >= 3          # need batches on both sides of the cut
+
+    r1 = _Recorder(make_loader())
+    vl = BatchLoader(syn.dataset(cfg, "valid"), 4, prefetch=0)
+    s1 = fit(cfg, _KillAfter(r1, n=1), vl, use_mesh=False)
+    assert s1.get("preempted") is True
+    ckpt = os.path.join(s1["save_dir"], "checkpoint_last.msgpack")
+    from llmmil_tpu.train import checkpoint as ck
+    raw = ck.load_checkpoint(s1["save_dir"])
+    assert raw["epoch"] == 0                       # epoch incomplete
+    assert raw["batch_in_epoch"] == len(r1.seen)   # applied-batch offset
+    assert raw["step"] == len(r1.seen)             # dropout fold-in counter
+
+    r2 = _Recorder(make_loader())
+    s2 = fit(cfg.replace(resume=ckpt), r2, vl, use_mesh=False)
+    assert s2.get("preempted") is None
+    assert r1.seen + r2.seen == full_ids           # exactly-once coverage
+    assert np.isfinite(s2["train"]["loss"])
+    # the finished run resumes at epoch 1 as usual
+    assert ck.load_checkpoint(s2["save_dir"])["epoch"] == 1
+
+
 def test_fit_checkpoints_on_preemption_during_validation(tmp_path):
     """SIGTERM landing in the VALIDATION pass must also checkpoint and
     exit — before this was wired, fit() would finish validation, skip the
