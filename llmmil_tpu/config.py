@@ -241,6 +241,14 @@ class Config:
     # jitted step (the reference's pin_memory + .cuda(non_blocking=True),
     # train_ddp.py:276-293).  0 disables.
     device_prefetch: int = 2
+    # Data echoing (beyond reference; Choi et al. 2019, arXiv:1907.05550):
+    # apply each loaded batch N times per optimizer epoch pass.  The
+    # measured host pipeline costs 749-1617 ms/sample vs a 276 ms train
+    # step (BENCH_NOTES r3) — when too few loader cores are available the
+    # chip idles between batches, and echoing trades sample diversity for
+    # utilization.  Echoes reuse the augmented batch but draw fresh
+    # dropout noise (the step's rng folds in the step counter).  1 = off.
+    data_echo: int = 1
     # Checkpoint-on-SIGTERM (train/preempt.py, beyond reference): the epoch
     # loop drains at the next step boundary and writes checkpoint_last so
     # --resume continues the run after a pod preemption.

@@ -112,10 +112,16 @@ def run_epoch(step_fn, state, loader, mesh, rng, epoch: int, cfg: Config,
         n_batches += 1
         db = _device_batch(batch, mesh)
         if train:
-            state, metrics = step_fn(state, db, rng)
+            # data echoing (Config.data_echo): re-apply the loaded batch so
+            # the chip isn't idle while the host pipeline assembles the
+            # next one; each echo's dropout differs (step-counter fold-in).
+            # getattr: tolerate configs predating the field
+            for _ in range(max(int(getattr(cfg, "data_echo", 1)), 1)):
+                state, metrics = step_fn(state, db, rng)
+                pending.append((n, metrics, host_label))
         else:
             metrics = step_fn(state, db)
-        pending.append((n, metrics, host_label))
+            pending.append((n, metrics, host_label))
         batch_time.update(time.time() - end)
         end = time.time()
         if i % cfg.log_every == 0:
@@ -162,8 +168,11 @@ def fit(cfg: Config, train_loader, valid_loader,
              else next(iter(train_loader)))
     init_batch = {k: v for k, v in first.items() if k != "ID"}
     rng = jax.random.PRNGKey(cfg.seed)
+    # data echoing multiplies optimizer steps per epoch — the LR schedule
+    # horizon must count applications, not loaded batches
+    echo = max(int(getattr(cfg, "data_echo", 1)), 1)
     state = create_train_state(model, cfg, init_batch, rng,
-                               steps_per_epoch=len(train_loader),
+                               steps_per_epoch=len(train_loader) * echo,
                                jit_init=True)
 
     start_epoch = cfg.start_epoch
