@@ -249,6 +249,13 @@ class Config:
     # utilization.  Echoes reuse the augmented batch but draw fresh
     # dropout noise (the step's rng folds in the step counter).  1 = off.
     data_echo: int = 1
+    # Gradient accumulation (beyond reference): average gradients over N
+    # micro-batches before each optimizer update — an N× effective batch
+    # without N× activation memory (the accumulator costs one extra
+    # params-sized buffer).  The LR schedule counts optimizer updates, so
+    # horizons stay correct; checkpoints capture the accumulator, so
+    # mid-epoch resume stays exact.  1 = off.
+    grad_accum: int = 1
     # Checkpoint-on-SIGTERM (train/preempt.py, beyond reference): the epoch
     # loop drains at the next step boundary and writes checkpoint_last so
     # --resume continues the run after a pod preemption.

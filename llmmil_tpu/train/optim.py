@@ -74,7 +74,12 @@ def frozen_prefixes_from_config(cfg: Config) -> list[str]:
 
 def make_optimizer(cfg: Config, params=None, steps_per_epoch: int = 100
                    ) -> optax.GradientTransformation:
-    sched = make_lr_schedule(cfg, steps_per_epoch)
+    """``steps_per_epoch`` counts gradient APPLICATIONS (micro-batches ×
+    echoes); with ``cfg.grad_accum`` > 1 the inner transform only steps
+    once per ``grad_accum`` applications, so the schedule horizon is
+    divided accordingly."""
+    accum = max(int(getattr(cfg, "grad_accum", 1)), 1)
+    sched = make_lr_schedule(cfg, max(steps_per_epoch // accum, 1))
     wd = 1e-7
     if cfg.learnablePrompt:
         inner = optax.chain(optax.add_decayed_weights(wd),
@@ -84,8 +89,14 @@ def make_optimizer(cfg: Config, params=None, steps_per_epoch: int = 100
                             optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2),
                             optax.scale_by_learning_rate(sched))
     frozen = frozen_prefixes_from_config(cfg)
-    if not frozen or params is None:
-        return inner
-    labels = freeze_label_tree(params, frozen)
-    return optax.multi_transform(
-        {"train": inner, "frozen": optax.set_to_zero()}, labels)
+    if frozen and params is not None:
+        labels = freeze_label_tree(params, frozen)
+        inner = optax.multi_transform(
+            {"train": inner, "frozen": optax.set_to_zero()}, labels)
+    if accum > 1:
+        # average grads over accum micro-batches, update on the last —
+        # for mean-per-sample losses this equals one step on the
+        # concatenated batch, up to dropout noise (each micro-batch draws
+        # its own mask via the step counter).  Tested in tests/test_accum.py
+        inner = optax.MultiSteps(inner, every_k_schedule=accum)
+    return inner
