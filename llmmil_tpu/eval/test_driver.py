@@ -78,7 +78,11 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
         state = create_train_state(model, cfg, init_batch,
                                    jax.random.PRNGKey(0), jit_init=True)
         if checkpoint_path:
-            state, _, _ = ckpt_lib.resume(state, checkpoint_path)
+            # params + batch_stats only (test_ddp.py:118-127): checkpoints
+            # trained under a different optimizer config (grad_accum,
+            # SGD-vs-Adam, freeze masks) evaluate without repeating the
+            # training flags — their opt_state shape is irrelevant here
+            state = ckpt_lib.restore_for_eval(state, checkpoint_path)
             print(f"=> loaded checkpoint '{checkpoint_path}'")
 
     if ct_depth_shard and ct_int8:

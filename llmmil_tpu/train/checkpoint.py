@@ -117,6 +117,25 @@ def resume(state: TrainState, path: str) -> tuple[TrainState, int, int]:
     return state, int(raw["epoch"]), int(raw.get("batch_in_epoch", 0))
 
 
+def restore_for_eval(state: TrainState, path: str) -> TrainState:
+    """Restore ONLY params + batch_stats — the eval driver's loading path
+    (test_ddp.py:118-127 loads just the model state_dict).
+
+    Unlike :func:`resume`, no optimizer state is template-matched, so a
+    checkpoint trained with a different optimizer configuration (e.g.
+    ``grad_accum`` on, SGD-vs-Adam, different freeze masks — all of which
+    reshape ``opt_state``) evaluates without having to repeat the training
+    flags."""
+    with open(_resolve(path), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    template = {"params": state.params,
+                "batch_stats": state.batch_stats or {}}
+    ckpt = serialization.from_state_dict(
+        template, {k: raw[k] for k in template})
+    return state.replace(params=ckpt["params"],
+                         batch_stats=ckpt.get("batch_stats", {}))
+
+
 def restore_branch(state: TrainState, ckpt_path: str,
                    branch: str) -> TrainState:
     """Merge a saved checkpoint's ``params[branch]`` subtree into the live

@@ -85,3 +85,27 @@ def test_accum_fit_and_resume(tmp_path):
     ckpt = os.path.join(summary["save_dir"], "checkpoint_last.msgpack")
     s2 = fit(cfg.replace(resume=ckpt, n_epochs=3), tl, vl, use_mesh=False)
     assert np.isfinite(s2["train"]["loss"])
+
+
+def test_eval_restores_accum_checkpoint_without_training_flags(tmp_path):
+    """A grad_accum-trained checkpoint has a MultiSteps-shaped opt_state;
+    evaluate() must still load it under a default config (params +
+    batch_stats only, like the reference's test driver) instead of
+    demanding the training flags be repeated."""
+    from llmmil_tpu.eval import evaluate
+
+    cfg = _cfg(tmp_path, grad_accum=2, n_epochs=1)
+    syn = SyntheticCohort(cfg, n_per_hospital=8, seed=8)
+    tl = BatchLoader(syn.dataset(cfg, "train"), 4, shuffle=True,
+                     drop_last=True, prefetch=0)
+    vl = BatchLoader(syn.dataset(cfg, "valid"), 4, prefetch=0)
+    summary = fit(cfg, tl, vl, use_mesh=False)
+    ckpt = os.path.join(summary["save_dir"], "checkpoint_last.msgpack")
+
+    plain = _cfg(tmp_path, mode="test", best_thres=0.5)   # no grad_accum
+    assert plain.grad_accum == 1
+    test_loader = BatchLoader(syn.dataset(plain, "test"), 4, prefetch=0)
+    res = evaluate(plain, test_loader, checkpoint_path=ckpt,
+                   out_dir=str(tmp_path / "pred"), mode="test")
+    probs = res["table"]["prob"].to_numpy()
+    assert np.all(np.isfinite(probs))
