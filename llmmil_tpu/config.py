@@ -182,6 +182,14 @@ class Config:
     # single-device.  Applies to the clip/concat/wMask baseline families
     # (the flagship pools fused streams, not the raw bag).
     bag_shard_axis: str = ""
+    # FSDP / ZeRO-3 parameter + optimizer-state sharding (beyond reference:
+    # DDP replicates the full model and Adam moments on every GPU,
+    # train_ddp.py:79): name of the mesh axis over which the train state's
+    # large leaves are sharded (parallel/fsdp.py — largest divisible dim,
+    # leaves < 1024 elements stay replicated).  XLA inserts the
+    # all-gather/reduce-scatter collectives; numerics match plain DP to
+    # float tolerance (tests/test_fsdp.py).  Empty = off (replicated DP).
+    fsdp_axis: str = ""
     # Depth (context) parallelism for the CT trunk DURING TRAINING: name of
     # the mesh axis sharding the volume's depth dim (must appear in
     # mesh_axes, e.g. mesh_shape=[-1, 2], mesh_axes=['data','depth']).
@@ -256,6 +264,12 @@ class Config:
     # horizons stay correct; checkpoints capture the accumulator, so
     # mid-epoch resume stays exact.  1 = off.
     grad_accum: int = 1
+    # Async checkpointing (beyond reference: torch.save blocks the epoch
+    # loop, utils.py:192-195): snapshot the state on device, then fetch +
+    # serialize + write in a background thread (train/checkpoint.py::
+    # AsyncCheckpointer) — hides the multi-second d2h fetch of a
+    # production-size state behind the next epoch.  0 = synchronous.
+    async_checkpoint: int = 0
     # Checkpoint-on-SIGTERM (train/preempt.py, beyond reference): the epoch
     # loop drains at the next step boundary and writes checkpoint_last so
     # --resume continues the run after a pod preemption.

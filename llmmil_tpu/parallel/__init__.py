@@ -6,10 +6,12 @@ from .sp_mil import (sharded_mil_pool, shard_bag,
 from .sp_ct import depth_sharded_ct, shard_volume
 from .multihost import initialize_from_args, is_primary, global_device_mesh
 from .prefetch import prefetch_to_device
+from .fsdp import fsdp_shardings, fsdp_spec, shard_state
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding",
            "replicated_sharding", "ShardedEpochSampler",
            "sharded_mil_pool", "shard_bag", "instance_sharded_apply",
            "depth_sharded_ct",
            "shard_volume", "initialize_from_args", "is_primary",
-           "global_device_mesh", "prefetch_to_device"]
+           "global_device_mesh", "prefetch_to_device",
+           "fsdp_shardings", "fsdp_spec", "shard_state"]

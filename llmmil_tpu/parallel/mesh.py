@@ -44,8 +44,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Shard every array in a batch pytree along its leading dim (the
     per-host equivalent of DistributedSampler's per-rank split,
-    train_ddp.py:190-196)."""
-    sh = batch_sharding(mesh, axis)
+    train_ddp.py:190-196).
+
+    A remainder batch whose leading dim the 'data' axis can't divide (the
+    last batch of an epoch with drop_last off) is placed replicated
+    instead — every device computes the full small batch redundantly,
+    which keeps numerics exact (the reference's DistributedSampler instead
+    *duplicates samples* to even out ranks, which perturbs epoch metrics).
+    """
+    leaves = jax.tree_util.tree_leaves(batch)
+    n = mesh.shape[axis]
+    divisible = all(np.ndim(x) >= 1 and np.shape(x)[0] % n == 0
+                    for x in leaves)
+    sh = batch_sharding(mesh, axis) if divisible else \
+        replicated_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch)
 

@@ -17,9 +17,11 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -59,8 +61,13 @@ def save_checkpoint(state: TrainState, save_dir: str, epoch: int,
     if jax.process_index() != 0:
         return ""
     ne = epoch + 1 if next_epoch is None else next_epoch
-    blob = serialization.to_bytes(
-        _to_numpy(_ckpt_dict(state, ne, batch_in_epoch)))
+    return _write_ckpt(_to_numpy(_ckpt_dict(state, ne, batch_in_epoch)),
+                       save_dir, epoch, is_best)
+
+
+def _write_ckpt(host_tree: dict, save_dir: str, epoch: int,
+                is_best: bool) -> str:
+    blob = serialization.to_bytes(host_tree)
     path = os.path.join(save_dir, f"checkpoint_{epoch:04d}.msgpack")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -72,6 +79,66 @@ def save_checkpoint(state: TrainState, save_dir: str, epoch: int,
         shutil.copyfile(path, os.path.join(save_dir,
                                            "checkpoint_best.msgpack"))
     return path
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint I/O with training (beyond reference — the
+    reference's ``torch.save`` blocks the epoch loop, utils.py:192-195).
+
+    ``save_checkpoint`` snapshots the state ON DEVICE (one jitted copy
+    program — new buffers, so the train loop's donated updates can't
+    clobber them) and returns immediately; a worker thread then does the
+    device→host fetch, msgpack serialization, and disk write.  Through the
+    axon tunnel the d2h fetch of a production state is seconds — fully
+    hidden behind the next epoch.  At most one save is in flight: a new
+    save (or :meth:`wait`) joins the previous one first, and re-raises any
+    error from it.  Call :meth:`wait` before reading the files or exiting.
+    """
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+        self._exc: BaseException | None = None
+        self._snapshot = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t))
+
+    def save_checkpoint(self, state: TrainState, save_dir: str, epoch: int,
+                        is_best: bool = False,
+                        next_epoch: int | None = None,
+                        batch_in_epoch: int = 0) -> str:
+        if jax.process_index() != 0:
+            return ""
+        self.wait()
+        ne = epoch + 1 if next_epoch is None else next_epoch
+        # scalars are fetched here (cheap); the array trees are copied on
+        # device so the snapshot is immune to in-place (donated) updates
+        meta = {"epoch": ne, "step": int(state.step),
+                "batch_in_epoch": int(batch_in_epoch)}
+        snap = self._snapshot({"params": state.params,
+                               "opt_state": state.opt_state,
+                               "batch_stats": state.batch_stats or {}})
+        path = os.path.join(save_dir, f"checkpoint_{epoch:04d}.msgpack")
+
+        def work():
+            try:
+                # _to_numpy over the WHOLE dict (incl. the int meta fields)
+                # keeps the file byte-identical to the synchronous path
+                _write_ckpt(_to_numpy({**meta, **snap}), save_dir, epoch,
+                            is_best)
+            except BaseException as e:   # surfaced by the next wait()
+                self._exc = e
+
+        self._thread = threading.Thread(target=work, name="async-ckpt",
+                                        daemon=True)
+        self._thread.start()
+        return path
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
 
 
 def _resolve(path: str) -> str:

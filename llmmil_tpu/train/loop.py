@@ -195,18 +195,31 @@ def fit(cfg: Config, train_loader, valid_loader,
                 print(f"=> loaded pretrained {branch} from {path}")
 
     mesh = None
+    state_shardings = None
     if use_mesh and jax.device_count() > 1:
         mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
-        state = replicate(state, mesh)
+        if getattr(cfg, "fsdp_axis", ""):
+            # FSDP: shard params/opt-state over the axis (ZeRO-3); XLA
+            # all-gathers params before use and reduce-scatters grads
+            from ..parallel.fsdp import shard_state
+            state, state_shardings = shard_state(state, mesh,
+                                                 cfg.fsdp_axis)
+        else:
+            state = replicate(state, mesh)
 
     # donate the incoming state: the loop rebinds it every step, and
     # donation lets XLA update params/opt-state in place (no extra copy
     # of the ~350 MB param set at production size)
-    train_step = make_train_step(cfg, donate=True, mesh=mesh)
+    train_step = make_train_step(cfg, donate=True, mesh=mesh,
+                                 state_shardings=state_shardings)
     eval_step = make_eval_step(cfg)
 
     best_auc = 0.0
     summary: Dict = {}
+    # saver quacks like the module: AsyncCheckpointer overlaps the d2h
+    # fetch + disk write with the next epoch (Config.async_checkpoint)
+    saver = (ckpt_lib.AsyncCheckpointer()
+             if getattr(cfg, "async_checkpoint", 0) else ckpt_lib)
     guard = (PreemptionGuard() if cfg.handle_preemption
              else PreemptionGuard(signals=()))
     with guard:
@@ -244,10 +257,10 @@ def fit(cfg: Config, train_loader, valid_loader,
                 # the preempt-during-validation path below).
                 done = epoch_offset + tm["n_batches"]
                 if done >= len(train_loader):
-                    ckpt_lib.save_checkpoint(state, save_dir, epoch,
+                    saver.save_checkpoint(state, save_dir, epoch,
                                              is_best=False)
                 else:
-                    ckpt_lib.save_checkpoint(state, save_dir, epoch,
+                    saver.save_checkpoint(state, save_dir, epoch,
                                              is_best=False,
                                              next_epoch=epoch,
                                              batch_in_epoch=done)
@@ -263,7 +276,7 @@ def fit(cfg: Config, train_loader, valid_loader,
                 # preempted during validation: the train epoch completed,
                 # so --resume continues at epoch+1; the truncated valid
                 # metrics must not drive best-AUC selection
-                ckpt_lib.save_checkpoint(state, save_dir, epoch,
+                saver.save_checkpoint(state, save_dir, epoch,
                                          is_best=False)
                 summary = {"epoch": epoch, "train": tm, "best_auc": best_auc,
                            "save_dir": save_dir, "preempted": True}
@@ -274,9 +287,11 @@ def fit(cfg: Config, train_loader, valid_loader,
             if is_best:
                 best_auc = vm["auc"]
             if (not cfg.save_best) or is_best:
-                ckpt_lib.save_checkpoint(state, save_dir, epoch,
+                saver.save_checkpoint(state, save_dir, epoch,
                                          is_best=is_best)
             summary = {"epoch": epoch, "train": tm, "valid": vm,
                        "best_auc": best_auc, "save_dir": save_dir}
+    if hasattr(saver, "wait"):
+        saver.wait()      # flush the in-flight async save (and its errors)
     writer.close()
     return summary

@@ -21,12 +21,19 @@ from .losses import multihead_loss
 from .state import TrainState
 
 
-def make_train_step(cfg: Config, donate: bool = True, mesh=None):
+def make_train_step(cfg: Config, donate: bool = True, mesh=None,
+                    state_shardings=None):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     ``batch`` must contain 'label' (B, num_classes) one-hot targets alongside
     the model inputs.  Dropout/crop PRNG keys are folded in from ``rng`` and
     the step counter.
+
+    ``state_shardings``: a pytree of NamedShardings matching the train
+    state (from ``parallel.fsdp.shard_state``) — pins the step's input AND
+    output state layout so FSDP-sharded params/opt-state stay sharded
+    across steps and donation can reuse the buffers.  None (the default)
+    leaves placement to the arrays' committed shardings (replicated DP).
 
     ``cfg.ct_shard_axis`` + ``mesh``: depth-sharded (context-parallel) CT
     training — the MC3 trunk runs inside a shard_map over the named mesh
@@ -115,7 +122,14 @@ def make_train_step(cfg: Config, donate: bool = True, mesh=None):
         metrics["probs"] = out["probs"]
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    donate_argnums = (0,) if donate else ()
+    if state_shardings is not None:
+        # FSDP: pin the state argument and the returned state to the same
+        # sharded layout; batch/rng/metrics stay unconstrained (None)
+        return jax.jit(step, donate_argnums=donate_argnums,
+                       in_shardings=(state_shardings, None, None),
+                       out_shardings=(state_shardings, None))
+    return jax.jit(step, donate_argnums=donate_argnums)
 
 
 def make_eval_step(cfg: Config):
