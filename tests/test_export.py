@@ -1,0 +1,110 @@
+"""Serving-export artifact (eval/export.py, jax.export StableHLO).
+
+Invariants:
+- artifact outputs are bit-identical to the live jitted forward on the
+  same platform (params baked in as constants; the eager per-op path
+  differs at ~1e-7 because fusion changes rounding, same as any jit);
+- the artifact round-trips through bytes/disk and runs WITHOUT the live
+  variables;
+- multiple shape entries dispatch by signature; unknown signatures raise
+  with the available list;
+- the manifest records config + signatures.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmmil_tpu.config import Config
+from llmmil_tpu.eval.export import (ServingModel, export_model,
+                                    load_artifact, make_example_batch,
+                                    save_artifact)
+from llmmil_tpu.models import build_model
+
+
+def _cfg():
+    return Config(modality=["pathology"], model_pathology="ABMIL",
+                  aggregator="ABMIL", model_CI="simpleFCs_v1",
+                  CI_input_version="v1", loss_point="Last",
+                  compute_dtype="float32", learnablePrompt=0,
+                  bag_buckets=[32, 64])
+
+
+def _batch(cfg, B, N, seed=0):
+    rs = np.random.RandomState(seed)
+    return {"input_pathology": jnp.asarray(rs.randn(B, N, 768),
+                                           jnp.float32),
+            "mask_pathology": jnp.asarray(
+                np.arange(N)[None] < rs.randint(N // 2, N, (B, 1))),
+            "input_CI": jnp.asarray(rs.rand(B, 9), jnp.float32),
+            "label": jnp.asarray(np.eye(2)[rs.randint(0, 2, B)],
+                                 jnp.float32)}
+
+
+def test_export_roundtrip_bit_exact(tmp_path):
+    cfg = _cfg()
+    model = build_model(cfg)
+    ex32 = {k: v for k, v in _batch(cfg, 2, 32).items() if k != "label"}
+    ex64 = {k: v for k, v in _batch(cfg, 2, 64).items() if k != "label"}
+    variables = model.init(jax.random.PRNGKey(0), ex32)
+
+    blob = export_model(cfg, variables, [ex32, ex64], platforms=("cpu",))
+    path = str(tmp_path / "model.llmmil")
+    save_artifact(path, blob)
+    served = load_artifact(path)
+    assert len(served.signatures) == 2
+    assert served.manifest["config"]["model_pathology"] == "ABMIL"
+
+    jfwd = jax.jit(lambda b: model.apply(variables, b,
+                                          train=False)["probs"])
+    for ex in (ex32, ex64):
+        want = jfwd(ex)
+        got = served.call(ex)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # fresh inputs through the same entries (values differ, shapes match)
+    ex_new = {k: v for k, v in _batch(cfg, 2, 64, seed=3).items()
+              if k != "label"}
+    want = jfwd(ex_new)
+    np.testing.assert_array_equal(np.asarray(served.call(ex_new)),
+                                  np.asarray(want))
+
+    # unknown signature -> KeyError naming what's available
+    bad = {k: v for k, v in _batch(cfg, 3, 48).items() if k != "label"}
+    with pytest.raises(KeyError, match="available"):
+        served.call(bad)
+
+
+def test_make_example_batch_shapes():
+    cfg = _cfg()
+    ex = make_example_batch(cfg, batch=2)
+    assert ex["input_pathology"].shape == (2, 64, 768)   # last bucket
+    assert ex["input_CI"].shape == (2, 9)                # v1 vector
+    cfg2 = Config(modality=["CT", "pathology"], model_CT="resnetMC3_18",
+                  model_CI="CLIP", CI_input_version="text",
+                  CI_prompt_version="devided", spacing=[2.0, 2.0, 2.5],
+                  prompt_len=8, ct_hw_override=32)
+    ex2 = make_example_batch(cfg2, batch=1, bag=16, ct_depth=8)
+    assert ex2["input_CT"].shape == (1, 8, 32, 32, 1)
+    assert ex2["input_pathology"].shape == (1, 16, 768)
+    # devided prompts: n_clinical+1 rows, context shortened by prompt_len
+    assert ex2["input_CI"].shape == (1, 10, cfg2.clip_context - 8)
+    # EOT id at the end so argmax-EOT pooling hits the last position
+    assert int(np.asarray(ex2["input_CI"])[0, 0, -1]) == cfg2.clip_vocab - 1
+
+
+def test_exported_entry_runs_without_variables(tmp_path):
+    """The artifact alone (no params in scope) must produce the outputs —
+    i.e. the variables were truly baked in as constants."""
+    cfg = _cfg()
+    model = build_model(cfg)
+    ex = {k: v for k, v in _batch(cfg, 1, 32).items() if k != "label"}
+    variables = model.init(jax.random.PRNGKey(1), ex)
+    want = np.asarray(jax.jit(
+        lambda b: model.apply(variables, b, train=False)["probs"])(ex))
+    blob = export_model(cfg, variables, [ex], platforms=("cpu",))
+    del variables, model
+    served = ServingModel(blob)
+    np.testing.assert_array_equal(np.asarray(served.call(ex)), want)
