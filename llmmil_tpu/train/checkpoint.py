@@ -35,6 +35,27 @@ def _to_numpy(tree: Any) -> Any:
         lambda x: np.array(jax.device_get(x)), tree)
 
 
+def _gather_tree(tree: Any) -> Any:
+    """Assemble leaves that span processes (multi-host FSDP: a parameter
+    sharded over hosts is not fully addressable on any one of them).
+
+    COLLECTIVE when a gather is needed — every process must call it, so
+    it runs *before* any ``jax.process_index() != 0`` gating.  A no-op in
+    the single-process case (everything fully addressable)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if all(not isinstance(x, jax.Array) or x.is_fully_addressable
+           for x in leaves):
+        return tree
+    from jax.experimental import multihost_utils
+
+    def gather(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    return jax.tree_util.tree_map(gather, tree)
+
+
 def _ckpt_dict(state: TrainState, next_epoch: int,
                batch_in_epoch: int = 0) -> dict:
     return {"epoch": next_epoch,
@@ -58,11 +79,13 @@ def save_checkpoint(state: TrainState, save_dir: str, epoch: int,
     so --resume continues the interrupted epoch at the exact next batch
     (the loader order is deterministic per epoch — see
     ``BatchLoader.skip_next``)."""
+    ne = epoch + 1 if next_epoch is None else next_epoch
+    # gather BEFORE the rank gate — collective over processes when the
+    # state is multi-host FSDP-sharded (no-op single-process)
+    tree = _gather_tree(_ckpt_dict(state, ne, batch_in_epoch))
     if jax.process_index() != 0:
         return ""
-    ne = epoch + 1 if next_epoch is None else next_epoch
-    return _write_ckpt(_to_numpy(_ckpt_dict(state, ne, batch_in_epoch)),
-                       save_dir, epoch, is_best)
+    return _write_ckpt(_to_numpy(tree), save_dir, epoch, is_best)
 
 
 def _write_ckpt(host_tree: dict, save_dir: str, epoch: int,
@@ -105,17 +128,24 @@ class AsyncCheckpointer:
                         is_best: bool = False,
                         next_epoch: int | None = None,
                         batch_in_epoch: int = 0) -> str:
-        if jax.process_index() != 0:
-            return ""
         self.wait()
         ne = epoch + 1 if next_epoch is None else next_epoch
         # scalars are fetched here (cheap); the array trees are copied on
         # device so the snapshot is immune to in-place (donated) updates
         meta = {"epoch": ne, "step": int(state.step),
                 "batch_in_epoch": int(batch_in_epoch)}
-        snap = self._snapshot({"params": state.params,
-                               "opt_state": state.opt_state,
-                               "batch_stats": state.batch_stats or {}})
+        arrays = {"params": state.params,
+                  "opt_state": state.opt_state,
+                  "batch_stats": state.batch_stats or {}}
+        if any(isinstance(x, jax.Array) and not x.is_fully_addressable
+               for x in jax.tree_util.tree_leaves(arrays)):
+            # multi-host FSDP: the gather is a collective — run it here
+            # synchronously on EVERY process; only the write is async
+            snap = _gather_tree(arrays)
+        else:
+            snap = self._snapshot(arrays)
+        if jax.process_index() != 0:
+            return ""
         path = os.path.join(save_dir, f"checkpoint_{epoch:04d}.msgpack")
 
         def work():
