@@ -264,6 +264,10 @@ class Config:
     # horizons stay correct; checkpoints capture the accumulator, so
     # mid-epoch resume stays exact.  1 = off.
     grad_accum: int = 1
+    # jax.profiler trace of the first training epoch written here (view in
+    # TensorBoard / Perfetto; the reference's only tracing is wall-clock
+    # AverageMeters, SURVEY §5).  Empty = off.
+    profile_dir: str = ""
     # Async checkpointing (beyond reference: torch.save blocks the epoch
     # loop, utils.py:192-195): snapshot the state on device, then fetch +
     # serialize + write in a background thread (train/checkpoint.py::

@@ -58,7 +58,8 @@ def main(argv=None):
     valid_loader = BatchLoader(valid_ds, cfg.batch_size, shuffle=False,
                                num_workers=cfg.num_workers)
 
-    summary = fit(cfg, train_loader, valid_loader)
+    summary = fit(cfg, train_loader, valid_loader,
+                  profile_dir=cfg.profile_dir or None)
     print(f"best valid AUC: {summary['best_auc']:.4f} "
           f"(saved to {summary['save_dir']})")
     return summary
