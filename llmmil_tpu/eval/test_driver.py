@@ -54,8 +54,16 @@ def roc_curve_plot(labels, scores, out_png: Optional[str] = None):
 def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
              state=None, out_dir: Optional[str] = None,
              mode: Optional[str] = None, ct_depth_shard: int = 0,
-             ct_int8: int = 0) -> Dict:
+             ct_int8: int = 0, artifact: str = "") -> Dict:
     """Run inference over a loader; returns metrics + per-patient table.
+
+    ``artifact``: serve from a frozen jax.export artifact
+    (``eval/export.py``, ``scripts/export.py``) instead of model code + a
+    checkpoint — the deployment path; probabilities match the live driver
+    to float tolerance (~1e-7: the artifact bakes params as constants,
+    the live path passes them as jit arguments — fusion rounding differs
+    at the last ulp).  The artifact must carry an entry for every
+    (batch x bag bucket) signature the loader produces.
 
     ``ct_depth_shard=N``: run CT feature extraction depth-sharded over an
     N-device ('depth',) mesh (``parallel/sp_ct.py`` halo-exchange context
@@ -70,8 +78,20 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     (quantization error); mutually exclusive with ``ct_depth_shard``.
     """
     mode = mode or cfg.mode
-    model = build_model(cfg)
-    if state is None:
+    served = None
+    if artifact:
+        if ct_depth_shard or ct_int8 or state is not None:
+            raise ValueError("artifact serving replaces the live model; "
+                             "it can't combine with ct_depth_shard / "
+                             "ct_int8 / a passed-in state")
+        from .export import load_artifact
+        served = load_artifact(artifact)
+        print(f"=> serving from artifact '{artifact}' "
+              f"({len(served.signatures)} signature(s))")
+        model = None
+    else:
+        model = build_model(cfg)
+    if state is None and served is None:
         first = (loader.first_batch() if hasattr(loader, "first_batch")
                  else next(iter(loader)))
         init_batch = {k: v for k, v in first.items() if k != "ID"}
@@ -147,6 +167,14 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
         return tuple(sorted((k, getattr(v, "shape", None))
                             for k, v in db.items()))
 
+    if served is not None:
+        def run_fwd(db):
+            return served.call({k: v for k, v in db.items()
+                                if k != "label"})
+    else:
+        def run_fwd(db):
+            return forward(state.params, state.batch_stats, db, qpack)
+
     ids, probs1, labels, times = [], [], [], []
     warmed = set()
     for batch in eval_batches:
@@ -157,12 +185,10 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
         # per-patient latency is never a compile (VERDICT r1 weak #6)
         key = shape_key(db)
         if key not in warmed:
-            jax.block_until_ready(
-                forward(state.params, state.batch_stats, db, qpack))
+            jax.block_until_ready(run_fwd(db))
             warmed.add(key)
         t0 = time.perf_counter()
-        p = np.asarray(jax.block_until_ready(
-            forward(state.params, state.batch_stats, db, qpack)))
+        p = np.asarray(jax.block_until_ready(run_fwd(db)))
         # per-PATIENT time (the reference's metric runs batch 1,
         # test_ddp.py:73) — normalise by the batch size
         times.append((time.perf_counter() - t0) / n_in_batch)

@@ -24,6 +24,10 @@ def main(argv=None):
     # depth-sharded CT serving (parallel/sp_ct.py): shard the volume's
     # depth axis over N devices — scales the reference's timed batch-1
     # metric (test_ddp.py:214-234) with chips; 0 = unsharded
+    parser.add_argument("--artifact", type=str, default="",
+                        help="serve from a jax.export artifact "
+                             "(scripts/export.py) instead of model code "
+                             "+ checkpoint")
     parser.add_argument("--ct_depth_shard", type=int, default=0)
     parser.add_argument("--ct_int8", type=int, default=0,
                         help="post-training int8 CT trunk, calibrated on "
@@ -66,7 +70,7 @@ def main(argv=None):
 
     res = evaluate(cfg, loader, checkpoint_path=ckpt, out_dir=out_dir,
                    mode=mode, ct_depth_shard=ns.ct_depth_shard,
-                   ct_int8=ns.ct_int8)
+                   ct_int8=ns.ct_int8, artifact=ns.artifact)
     print(f"AUC {res['auc']:.4f}  ACC {res['acc']:.4f}  "
           f"prec {res['precision']:.4f}  rec {res['recall']:.4f}  "
           f"thr {res['threshold']:.4f}  "

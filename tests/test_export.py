@@ -111,6 +111,57 @@ def test_multi_platform_export_runs_on_cpu():
     np.testing.assert_array_equal(np.asarray(served.call(ex)), want)
 
 
+def test_eval_driver_serves_from_artifact(tmp_path):
+    """scripts/test.py --artifact: the eval driver run from a frozen
+    artifact produces the same per-patient probabilities as the live
+    model + fresh-init state (both paths seed PRNGKey(0))."""
+    from llmmil_tpu.data import BatchLoader, SyntheticCohort
+    from llmmil_tpu.eval import evaluate
+    from llmmil_tpu.train.state import create_train_state
+
+    cfg = Config(modality=["pathology"], model_pathology="ABMIL",
+                 aggregator="ABMIL", model_CI="simpleFCs_v1",
+                 CI_input_version="v1", loss_point="Last",
+                 compute_dtype="float32", learnablePrompt=0,
+                 bag_buckets=[64], mode="test", best_thres=0.5,
+                 batch_size=1)
+    syn = SyntheticCohort(cfg, n_per_hospital=1, seed=13)
+    loader = BatchLoader(syn.dataset(cfg, "test"), 1, prefetch=0)
+
+    res_live = evaluate(cfg, loader, out_dir=str(tmp_path / "live"),
+                        mode="test")
+
+    # rebuild the exact state evaluate() used (same PRNGKey(0) init)
+    model = build_model(cfg)
+    first = loader.first_batch()
+    init_batch = {k: v for k, v in first.items() if k != "ID"}
+    state = create_train_state(model, cfg, init_batch,
+                               jax.random.PRNGKey(0), jit_init=True)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    ex = {k: v for k, v in init_batch.items() if k != "label"}
+    path = str(tmp_path / "m.llmmil")
+    save_artifact(path, export_model(cfg, variables, [ex],
+                                     platforms=("cpu",)))
+
+    res_art = evaluate(cfg, loader, out_dir=str(tmp_path / "art"),
+                       mode="test", artifact=path)
+    assert list(res_live["table"]["ID"]) == list(res_art["table"]["ID"])
+    # the live driver passes params as jit ARGUMENTS, the artifact bakes
+    # them as CONSTANTS — XLA constant-folding changes fusion rounding at
+    # the last ulp (~1e-7), so this comparison is float-tolerance; the
+    # bit-exact pin (same program form both sides) is
+    # test_export_roundtrip_bit_exact
+    np.testing.assert_allclose(res_art["table"]["prob"].to_numpy(),
+                               res_live["table"]["prob"].to_numpy(),
+                               rtol=0, atol=1e-6)
+
+    with pytest.raises(ValueError, match="artifact"):
+        evaluate(cfg, loader, out_dir=str(tmp_path), mode="test",
+                 artifact=path, ct_int8=1)
+
+
 def test_exported_entry_runs_without_variables(tmp_path):
     """The artifact alone (no params in scope) must produce the outputs —
     i.e. the variables were truly baked in as constants."""
