@@ -190,6 +190,26 @@ class Config:
     # all-gather/reduce-scatter collectives; numerics match plain DP to
     # float tolerance (tests/test_fsdp.py).  Empty = off (replicated DP).
     fsdp_axis: str = ""
+    # Tensor (model) parallelism (beyond reference): name of the mesh axis
+    # over which the transformer weight matrices shard in the Megatron
+    # column/row-parallel pattern (parallel/tp.py — attention qkv + MLP
+    # fc1 output dims, out-proj + MLP fc2 input dims; everything else
+    # replicated).  Expressed as GSPMD sharding annotations on the state
+    # pytree; XLA propagates layouts and inserts the per-pair all-reduce.
+    # Numerics match plain DP to float tolerance (tests/test_tp.py).
+    # Composes with fsdp_axis (ZeRO on the non-TP dims).  Empty = off.
+    tp_axis: str = ""
+    # Pipeline (inter-layer) parallelism (beyond reference): name of the
+    # mesh axis over which the CLIP text tower's resblock stack splits into
+    # contiguous stages, driven GPipe-style (parallel/pp.py — microbatched
+    # lax.scan, one ppermute hop per tick; backward is the autodiff
+    # transpose).  clip_layers must divide by the axis size; batch rows
+    # must divide by data-shards × pp_micro.  Exact vs the sequential
+    # stack (tests/test_pp.py).  Empty = off.
+    pp_axis: str = ""
+    # GPipe microbatches per pipeline step (bubble fraction
+    # (S-1)/(M+S-1)); only used when pp_axis is set.
+    pp_micro: int = 2
     # Depth (context) parallelism for the CT trunk DURING TRAINING: name of
     # the mesh axis sharding the volume's depth dim (must appear in
     # mesh_axes, e.g. mesh_shape=[-1, 2], mesh_axes=['data','depth']).

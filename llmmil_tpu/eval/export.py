@@ -79,6 +79,33 @@ def _entry_key(batch: Dict[str, Any]) -> str:
     return ";".join(f"{k}:{'x'.join(map(str, s))}:{d}" for k, s, d in sig)
 
 
+def export_forward(fn, batches: Iterable[Dict],
+                   platforms: Sequence[str] = ("tpu", "cpu"),
+                   manifest_extra: Optional[Dict] = None) -> bytes:
+    """Serialize an arbitrary ``fn(batch) -> probs`` callable (any arrays
+    it closes over — params, quantization packs — bake in as constants)
+    for each example batch signature into one artifact blob."""
+    entries: Dict[str, bytes] = {}
+    sigs: Dict[str, Dict] = {}
+    for b in batches:
+        specs = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x),
+                                           np.asarray(x).dtype), b)
+        exp = jax_export.export(jax.jit(fn),
+                                platforms=tuple(platforms))(specs)
+        key = _entry_key(b)
+        entries[key] = exp.serialize()
+        sigs[key] = {k: [list(np.shape(v)), str(np.asarray(v).dtype)]
+                     for k, v in b.items()}
+    manifest = {"jax_version": jax.__version__,
+                "platforms": list(platforms),
+                "entries": sigs}
+    manifest.update(manifest_extra or {})
+    return serialization.msgpack_serialize(
+        {"manifest": json.dumps(manifest).encode(),
+         "entries": entries})
+
+
 def export_model(cfg: Config, variables: Dict, batches: Iterable[Dict],
                  platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
     """Serialize ``model.apply(variables, batch, train=False)['probs']``
@@ -94,26 +121,9 @@ def export_model(cfg: Config, variables: Dict, batches: Iterable[Dict],
     def fn(batch):
         return model.apply(variables, batch, train=False)["probs"]
 
-    entries: Dict[str, bytes] = {}
-    sigs: Dict[str, Dict] = {}
-    for b in batches:
-        specs = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x),
-                                           np.asarray(x).dtype), b)
-        exp = jax_export.export(jax.jit(fn),
-                                platforms=tuple(platforms))(specs)
-        key = _entry_key(b)
-        entries[key] = exp.serialize()
-        sigs[key] = {k: [list(np.shape(v)), str(np.asarray(v).dtype)]
-                     for k, v in b.items()}
-    manifest = {"jax_version": jax.__version__,
-                "platforms": list(platforms),
-                "num_classes": cfg.num_classes,
-                "config": cfg.to_dict(),
-                "entries": sigs}
-    return serialization.msgpack_serialize(
-        {"manifest": json.dumps(manifest).encode(),
-         "entries": entries})
+    return export_forward(fn, batches, platforms,
+                          {"num_classes": cfg.num_classes,
+                           "config": cfg.to_dict()})
 
 
 def save_artifact(path: str, blob: bytes) -> None:

@@ -54,7 +54,8 @@ def roc_curve_plot(labels, scores, out_png: Optional[str] = None):
 def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
              state=None, out_dir: Optional[str] = None,
              mode: Optional[str] = None, ct_depth_shard: int = 0,
-             ct_int8: int = 0, artifact: str = "") -> Dict:
+             ct_int8: int = 0, artifact: str = "",
+             export_artifact: str = "") -> Dict:
     """Run inference over a loader; returns metrics + per-patient table.
 
     ``artifact``: serve from a frozen jax.export artifact
@@ -174,6 +175,44 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     else:
         def run_fwd(db):
             return forward(state.params, state.batch_stats, db, qpack)
+
+    if export_artifact:
+        # freeze THIS serving configuration (plain or int8-quantized CT —
+        # qpack consts bake in) as a jax.export artifact, then continue
+        # evaluating so the run doubles as the artifact's sanity check.
+        # Depth sharding is mesh-topology-bound and not exportable.
+        if served is not None or mesh is not None:
+            raise ValueError("--export_artifact needs a live single-"
+                             "device model (not --artifact / "
+                             "--ct_depth_shard)")
+        from .export import export_forward, save_artifact
+        var_local = {"params": state.params}
+        if state.batch_stats is not None and jax.tree_util.tree_leaves(
+                state.batch_stats):
+            var_local["batch_stats"] = state.batch_stats
+
+        def serve_fn(db):
+            b = db
+            if qpack is not None and "input_CT" in b:
+                from .quant import run_trunk_int8
+                feat = run_trunk_int8(cfg, qpack, b["input_CT"], dtype=qdt)
+                b = {k: v for k, v in b.items() if k != "input_CT"}
+                b = dict(b, ct_features=feat)
+            return model.apply(var_local, b, train=False)["probs"]
+
+        first = (loader.first_batch() if hasattr(loader, "first_batch")
+                 else None)
+        if first is None:
+            raise ValueError("export_artifact needs a loader with "
+                             "first_batch()")
+        ex = {k: v for k, v in first.items() if k not in ("ID", "label")}
+        save_artifact(export_artifact, export_forward(
+            serve_fn, [ex],
+            manifest_extra={"num_classes": cfg.num_classes,
+                            "config": cfg.to_dict(),
+                            "ct_int8": ct_int8}))
+        print(f"=> exported serving artifact '{export_artifact}'"
+              + (" (int8 CT trunk baked in)" if qpack is not None else ""))
 
     ids, probs1, labels, times = [], [], [], []
     warmed = set()

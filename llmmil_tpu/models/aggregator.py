@@ -88,6 +88,9 @@ def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
 class Aggregator(nn.Module):
     cfg: Config
     dtype: jnp.dtype = jnp.float32
+    # pipeline-parallel override for the CLIP text tower's resblock stack
+    # (parallel/pp.py::clip_blocks_pipeline); param tree unchanged
+    ci_blocks_fn: Optional[Any] = None
 
     def _ct_extractor(self):
         return make_ct_extractor(self.cfg, self.dtype, name="extractor_CT")
@@ -112,7 +115,8 @@ class Aggregator(nn.Module):
             return CoOpClinicalEncoder(
                 n_prompts=n + 1, n_ctx=c.n_ctx,
                 learnable=bool(c.learnablePrompt), cfg=tcfg,
-                dtype=self.dtype, name=name)
+                dtype=self.dtype, name=name,
+                blocks_fn=self.ci_blocks_fn)
         raise ValueError(f"unknown model_CI {c.model_CI}")
 
     def _use_pallas(self) -> bool:

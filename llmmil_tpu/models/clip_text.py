@@ -84,9 +84,17 @@ class CLIPTextEncoder(nn.Module):
     """Full text tower.  ``__call__`` embeds token ids and encodes;
     ``encode_embedding`` skips the lookup (CoOp splices its own embeddings).
     EOT pooling = row at argmax(token id) @ text_projection
-    (clip/model.py:339-352)."""
+    (clip/model.py:339-352).
+
+    ``blocks_fn``: optional override running the resblock stack from its
+    STACKED per-layer params — ``blocks_fn(stacked_params, x) -> x`` —
+    used by pipeline parallelism (``parallel/pp.py``) to drive the same
+    blocks GPipe-style over a 'pipe' mesh axis.  Param tree unchanged;
+    init always takes the plain loop so every block materializes.
+    """
     cfg: CLIPTextConfig = CLIPTextConfig()
     dtype: jnp.dtype = jnp.float32
+    blocks_fn: object = None
 
     def setup(self):
         c = self.cfg
@@ -111,8 +119,18 @@ class CLIPTextEncoder(nn.Module):
         """x: (B, T, width) token embeddings; eot_idx: (B,) EOT positions."""
         n = x.shape[1]
         x = x + self.positional_embedding[:n].astype(x.dtype)
-        for blk in self.blocks:
-            x = blk(x)
+        if self.blocks_fn is not None and not self.is_initializing():
+            # pipeline-parallel stack (parallel/pp.py): hand the hook the
+            # per-layer params stacked on a leading layer axis.  Reading
+            # self.variables keeps gradients flowing into each block.
+            stacked = jax.tree_util.tree_map(
+                lambda *ls: jnp.stack(ls),
+                *[self.variables["params"][f"resblock_{i}"]
+                  for i in range(self.cfg.layers)])
+            x = self.blocks_fn(stacked, x)
+        else:
+            for blk in self.blocks:
+                x = blk(x)
         x = self.ln_final(x)
         pooled = jnp.take_along_axis(
             x, eot_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
@@ -141,11 +159,13 @@ class CoOpClinicalEncoder(nn.Module):
     learnable: bool = True
     cfg: CLIPTextConfig = CLIPTextConfig()
     dtype: jnp.dtype = jnp.float32
+    blocks_fn: object = None     # pipeline-parallel stack (parallel/pp.py)
 
     @nn.compact
     def __call__(self, tokens):
         b, p, t = tokens.shape
-        clip_enc = CLIPTextEncoder(self.cfg, self.dtype, name="clip")
+        clip_enc = CLIPTextEncoder(self.cfg, self.dtype, name="clip",
+                                   blocks_fn=self.blocks_fn)
         flat = tokens.reshape(b * p, t)
         if not self.learnable:
             out = jax.lax.stop_gradient(clip_enc(flat))

@@ -198,7 +198,14 @@ def fit(cfg: Config, train_loader, valid_loader,
     state_shardings = None
     if use_mesh and jax.device_count() > 1:
         mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
-        if getattr(cfg, "fsdp_axis", ""):
+        if getattr(cfg, "tp_axis", ""):
+            # Megatron-pattern tensor parallelism (optionally + FSDP on
+            # the non-TP dims): parallel/tp.py's path-keyed annotations
+            from ..parallel.tp import shard_state_tp
+            state, state_shardings = shard_state_tp(
+                state, mesh, cfg.tp_axis,
+                fsdp_axis=getattr(cfg, "fsdp_axis", "") or None)
+        elif getattr(cfg, "fsdp_axis", ""):
             # FSDP: shard params/opt-state over the axis (ZeRO-3); XLA
             # all-gathers params before use and reduce-scatters grads
             from ..parallel.fsdp import shard_state

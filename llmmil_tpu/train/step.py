@@ -43,6 +43,30 @@ def make_train_step(cfg: Config, donate: bool = True, mesh=None,
     (tests/test_sp_ct.py).  The reference's DDP trains this trunk unsharded
     on one GPU per sample (train_ddp.py:79).
     """
+    pp_apply = None
+    if getattr(cfg, "pp_axis", ""):
+        # pipeline-parallel CLIP text tower (parallel/pp.py): rebuild the
+        # flagship with the resblock stack routed through the GPipe hook.
+        # Param tree identical, so the state and checkpoints are untouched.
+        if mesh is None or cfg.pp_axis not in mesh.axis_names:
+            raise ValueError(
+                f"pp_axis={cfg.pp_axis!r} needs a mesh with that axis "
+                f"(got {None if mesh is None else mesh.axis_names})")
+        from ..models import Aggregator, build_model
+        from ..parallel.pp import clip_blocks_pipeline
+        base = build_model(cfg)
+        if cfg.model_CI != "CLIP" or not isinstance(base, Aggregator):
+            raise ValueError("pp_axis pipelines the flagship's CLIP text "
+                             "tower (model_CI='CLIP', family "
+                             "'aggregator')")
+        pp_dtype = (jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype
+                    else jnp.float32)
+        blocks_fn = clip_blocks_pipeline(
+            cfg.clip_width, cfg.clip_heads, pp_dtype, mesh,
+            axis=cfg.pp_axis, n_micro=cfg.pp_micro,
+            batch_axis="data" if "data" in mesh.axis_names else None)
+        pp_apply = base.clone(ci_blocks_fn=blocks_fn).apply
+
     ct_axis = cfg.ct_shard_axis or None
     ct_trunk = None
     if ct_axis is not None:
@@ -96,7 +120,7 @@ def make_train_step(cfg: Config, donate: bool = True, mesh=None,
             feat, ext_stats = ct_trunk(
                 params, variables.get("batch_stats"), ct_in)
             batch = dict(batch, ct_features=feat)
-        out, mutated = state.apply_fn(
+        out, mutated = (pp_apply or state.apply_fn)(
             variables, batch, train=True,
             rngs=rngs, mutable=["batch_stats"] if has_bn else [])
         if ext_stats is not None:

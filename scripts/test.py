@@ -28,6 +28,10 @@ def main(argv=None):
                         help="serve from a jax.export artifact "
                              "(scripts/export.py) instead of model code "
                              "+ checkpoint")
+    parser.add_argument("--export_artifact", type=str, default="",
+                        help="also freeze this serving configuration "
+                             "(plain or --ct_int8) as a jax.export "
+                             "artifact at the given path")
     parser.add_argument("--ct_depth_shard", type=int, default=0)
     parser.add_argument("--ct_int8", type=int, default=0,
                         help="post-training int8 CT trunk, calibrated on "
@@ -70,7 +74,8 @@ def main(argv=None):
 
     res = evaluate(cfg, loader, checkpoint_path=ckpt, out_dir=out_dir,
                    mode=mode, ct_depth_shard=ns.ct_depth_shard,
-                   ct_int8=ns.ct_int8, artifact=ns.artifact)
+                   ct_int8=ns.ct_int8, artifact=ns.artifact,
+                   export_artifact=ns.export_artifact)
     print(f"AUC {res['auc']:.4f}  ACC {res['acc']:.4f}  "
           f"prec {res['precision']:.4f}  rec {res['recall']:.4f}  "
           f"thr {res['threshold']:.4f}  "

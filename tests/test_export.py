@@ -162,6 +162,37 @@ def test_eval_driver_serves_from_artifact(tmp_path):
                  artifact=path, ct_int8=1)
 
 
+def test_int8_serving_mode_exports(tmp_path):
+    """scripts/test.py --ct_int8 1 --export_artifact: the quantized-trunk
+    serving configuration freezes into an artifact (int8 weights + scales
+    baked as constants) whose probs match the live int8 run."""
+    from llmmil_tpu.data import BatchLoader, SyntheticCohort
+    from llmmil_tpu.eval import evaluate
+
+    cfg = Config(modality=["CT", "pathology"], model_CT="resnetMC3_18",
+                 model_pathology="TransMIL", model_CI="CLIP",
+                 CI_input_version="text", aggregator="TransMIL",
+                 loss_point="CT-Pth-Last", spacing=[2.0, 2.0, 2.5],
+                 compute_dtype="float32", ct_temporal_mode="dfold",
+                 clip_vocab=64, clip_context=16, clip_width=32,
+                 clip_heads=4, clip_layers=1, clip_embed=16,
+                 ct_shape=[16, 32, 32], bag_buckets=[64],
+                 mode="test", best_thres=0.5, batch_size=1)
+    syn = SyntheticCohort(cfg, n_per_hospital=1, seed=13)
+    loader = BatchLoader(syn.dataset(cfg, "test"), 1, prefetch=0)
+    path = str(tmp_path / "int8.llmmil")
+
+    res_live = evaluate(cfg, loader, out_dir=str(tmp_path / "live"),
+                        mode="test", ct_int8=1, export_artifact=path)
+    served = load_artifact(path)
+    assert served.manifest["ct_int8"] == 1
+    res_art = evaluate(cfg, loader, out_dir=str(tmp_path / "art"),
+                       mode="test", artifact=path)
+    np.testing.assert_allclose(res_art["table"]["prob"].to_numpy(),
+                               res_live["table"]["prob"].to_numpy(),
+                               rtol=0, atol=1e-6)
+
+
 def test_exported_entry_runs_without_variables(tmp_path):
     """The artifact alone (no params in scope) must produce the outputs —
     i.e. the variables were truly baked in as constants."""
