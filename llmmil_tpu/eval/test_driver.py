@@ -51,6 +51,27 @@ def roc_curve_plot(labels, scores, out_png: Optional[str] = None):
     return auc, best
 
 
+def _restore_from_torch(state, path: str, cfg: Config):
+    """Serve a reference-trained torch checkpoint: convert its
+    ``aggregator`` state_dict onto the live state (``models/migrate.py``;
+    ``scripts/import_torch.py`` is the ahead-of-time variant)."""
+    import torch
+
+    from ..models.migrate import merge_reference_checkpoint
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    variables = {"params": jax.device_get(state.params)}
+    if state.batch_stats:
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    merged, report = merge_reference_checkpoint(variables, sd, cfg)
+    for k in report["fresh"]:
+        print(f"   (no reference analog, left at init: {k})")
+    return state.replace(
+        params=merged["params"],
+        batch_stats=merged.get("batch_stats", state.batch_stats))
+
+
 def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
              state=None, out_dir: Optional[str] = None,
              mode: Optional[str] = None, ct_depth_shard: int = 0,
@@ -98,7 +119,15 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
         init_batch = {k: v for k, v in first.items() if k != "ID"}
         state = create_train_state(model, cfg, init_batch,
                                    jax.random.PRNGKey(0), jit_init=True)
-        if checkpoint_path:
+        if checkpoint_path and checkpoint_path.endswith(
+                (".pth", ".pth.tar", ".pt")):
+            # a checkpoint the REFERENCE trained: convert in-memory
+            # (models/migrate.py) and serve it directly — the one-command
+            # migration path (torch.save format of utils.py:192-195)
+            state = _restore_from_torch(state, checkpoint_path, cfg)
+            print(f"=> converted + loaded reference torch checkpoint "
+                  f"'{checkpoint_path}'")
+        elif checkpoint_path:
             # params + batch_stats only (test_ddp.py:118-127): checkpoints
             # trained under a different optimizer config (grad_accum,
             # SGD-vs-Adam, freeze masks) evaluate without repeating the

@@ -505,6 +505,46 @@ def test_import_torch_cli_roundtrip(tmp_path):
         np.testing.assert_array_equal(got[path], leaf, err_msg=path)
 
 
+def test_eval_driver_serves_reference_torch_checkpoint(tmp_path):
+    """scripts/test.py --test_pth model_best.pth.tar: the eval driver
+    converts in-memory and serves; probs match serving the msgpack that
+    scripts/import_torch.py wrote from the same file."""
+    import sys
+    sys.path.insert(0, "scripts")
+    import import_torch
+
+    from llmmil_tpu.data import BatchLoader, SyntheticCohort
+    from llmmil_tpu.eval import evaluate
+
+    torch.manual_seed(4)
+    ref = RefFlagshipPathology().eval()
+    pth = tmp_path / "model_best.pth.tar"
+    torch.save({"epoch": 2, "state_dict": ref.state_dict()}, pth)
+
+    cfg = Config(modality=["pathology"], model_CI="simpleFCs_v2",
+                 CI_input_version="v2", aggregator="TransMIL",
+                 compute_dtype="float32", bag_buckets=[64],
+                 mode="test", best_thres=0.5, batch_size=1)
+    syn = SyntheticCohort(cfg, n_per_hospital=1, seed=5)
+    loader = BatchLoader(syn.dataset(cfg, "test"), 1, prefetch=0)
+
+    res_t = evaluate(cfg, loader, checkpoint_path=str(pth),
+                     out_dir=str(tmp_path / "t"), mode="test")
+    probs_t = res_t["table"]["prob"].to_numpy()
+    assert np.all(np.isfinite(probs_t))
+
+    out = tmp_path / "imported.msgpack"
+    import_torch.main([
+        "--checkpoint", str(pth), "--out", str(out), "--cpu",
+        "--modality", "['pathology']", "--model_CI", "simpleFCs_v2",
+        "--CI_input_version", "v2", "--aggregator", "TransMIL",
+        "--compute_dtype", "float32"])
+    res_m = evaluate(cfg, loader, checkpoint_path=str(out),
+                     out_dir=str(tmp_path / "m"), mode="test")
+    np.testing.assert_allclose(res_m["table"]["prob"].to_numpy(), probs_t,
+                               atol=1e-6)
+
+
 def test_converter_rejects_unknown_keys():
     cfg = Config(modality=["pathology"], model_CI="simpleFCs_v2",
                  aggregator="TransMIL")
