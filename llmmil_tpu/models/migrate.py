@@ -238,11 +238,11 @@ def convert_flagship_state_dict(sd: Dict, cfg: Config
     every parameter the reference *forward* uses for this configuration.
     Raises on keys that are neither mapped nor documented-dead.
     """
-    if cfg.model_family != "aggregator" or cfg.separate_CI_encoders:
+    if cfg.model_family != "aggregator":
         raise NotImplementedError(
             "convert_flagship_state_dict handles model/aggregator.py's "
-            "`aggregator`; the clip/concat/wMask baselines and "
-            "aggregator_tmp snapshot different trees")
+            "`aggregator` (and aggregator_tmp via separate_CI_encoders); "
+            "the clip/concat/wMask baselines snapshot different trees")
     has_ct = "CT" in cfg.modality
     has_pth = "pathology" in cfg.modality
     # DDP-wrapped saves carry a 'module.' prefix (train_ddp.py wraps the
@@ -254,7 +254,20 @@ def convert_flagship_state_dict(sd: Dict, cfg: Config
     params: Dict = {}
     stats: Dict = {}
 
-    params["clinic_extractor"] = convert_clinic_extractor(t, cfg)
+    if cfg.separate_CI_encoders:
+        # aggregator_tmp: one CLIP text encoder + TwoWay tower per modality
+        # (aggregator_tmp.py:120-126,156-170); only tri-modal + learnable
+        # CLIP builds the separate pair there
+        if not (has_ct and has_pth and cfg.model_CI == "CLIP"):
+            raise NotImplementedError(
+                "separate_CI_encoders maps aggregator_tmp's tri-modal "
+                "CLIP configuration (aggregator_tmp.py:122-126)")
+        params["clinic_extractor_CT"] = convert_clinic_extractor(
+            t, cfg, "clinic_extractor_CT.")
+        params["clinic_extractor_Pth"] = convert_clinic_extractor(
+            t, cfg, "clinic_extractor_Pth.")
+    else:
+        params["clinic_extractor"] = convert_clinic_extractor(t, cfg)
 
     if has_ct:
         p, s = _convert_ct_extractor(t, cfg)
@@ -265,7 +278,15 @@ def convert_flagship_state_dict(sd: Dict, cfg: Config
 
     # Fusion towers + CI projections actually read by forward
     # (aggregator.py:155-195); the rest of the always-created set is dead.
-    if has_ct and has_pth:
+    if has_ct and has_pth and cfg.separate_CI_encoders:
+        # aggregator_tmp fuses through the per-modality towers; _Both is dead
+        params["TwoWayTransformer_CT"] = convert_twoway(
+            t, "TwoWayTransformer_CT.")
+        params["TwoWayTransformer_Pth"] = convert_twoway(
+            t, "TwoWayTransformer_Pth.")
+        params["fc_CI2CT"] = _lin(t, "fc_CI2CT.0.")
+        params["fc_CI2Pth"] = _lin(t, "fc_CI2Pth.0.")
+    elif has_ct and has_pth:
         params["TwoWayTransformer_Both"] = convert_twoway(
             t, "TwoWayTransformer_Both.")
         params["fc_CI2CT"] = _lin(t, "fc_CI2CT.0.")

@@ -51,6 +51,11 @@ def main(argv=None):
     p.add_argument("--remat", default="layer2")
     p.add_argument("--tiny_ci", action="store_true",
                    help="1-layer toy CLIP tower (CPU smoke runs only)")
+    p.add_argument("--swin_n", type=int, default=0,
+                   help="SwinUNETR crops per volume (0 = reference default:"
+                        " 100, or 3 for wMask)")
+    p.add_argument("--swin_crop", type=int, default=0,
+                   help="SwinUNETR cubic crop side (0 = reference 96)")
     ns = p.parse_args(argv)
 
     import jax
@@ -73,6 +78,8 @@ def main(argv=None):
                  # wMask trunks take the tumour mask as a second channel /
                  # crop centre; the TwoWay flagship handles both
                  wmask_family="twoway",
+                 swin_n_subsample=ns.swin_n,
+                 swin_crop=[ns.swin_crop] * 3 if ns.swin_crop else [],
                  **(dict(clip_vocab=64, clip_context=16, clip_width=64,
                          clip_heads=4, clip_layers=1, clip_embed=512)
                     if ns.tiny_ci else {}))

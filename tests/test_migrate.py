@@ -468,6 +468,52 @@ def test_trimodal_checkpoint_structure_maps_exactly():
     assert n_real == len(flat_merged) - 4
 
 
+def test_aggregator_tmp_checkpoint_structure_maps_exactly():
+    """aggregator_tmp (separate CLIP encoder + TwoWay tower per modality,
+    aggregator_tmp.py:120-126) → the separate_CI_encoders flax path."""
+    cfg = Config(model_CI="CLIP", aggregator="TransMIL",
+                 separate_CI_encoders=1, compute_dtype="float32")
+    n_prompts = cfg.n_clinical + 1
+
+    manifest = {}
+    manifest["extractor_CT.downsampling.weight"] = (3, 1, 3, 4, 4)
+    manifest["extractor_CT.downsampling.bias"] = (3,)
+    for k, s in mc3_18_manifest().items():
+        manifest[f"extractor_CT.model.{k}"] = s
+    for enc in ("clinic_extractor_CT", "clinic_extractor_Pth"):
+        for k, s in clip_vitb32_text_manifest().items():
+            manifest[f"{enc}.model.{k}"] = s
+        manifest[f"{enc}.model.visual.proj"] = (768, 512)
+        manifest[f"{enc}.ctx"] = (n_prompts, cfg.n_ctx, 512)
+    for name in ("TwoWayTransformer_CT", "TwoWayTransformer_Pth",
+                 "TwoWayTransformer_Both"):
+        manifest.update(_twoway_keys(name + "."))
+    manifest.update(_lin_keys("fc_CI2CT.0.", 512, 512))
+    manifest.update(_lin_keys("fc_CI2Pth.0.", 512, 512))
+    manifest.update(_lin_keys("fc_CI.0.", 512, 512))
+    manifest.update(_lin_keys("fc_pathology.0.", 768, 512))
+    manifest.update(_transmil_keys("extractor_pathology.", L=512))
+    manifest.update(_transmil_keys("aggregator."))
+    manifest["prompt_embedding"] = (1, 512)
+    manifest.update(_lin_keys("fc.1.", 512, cfg.num_classes))
+
+    sd = {k: np.zeros(s, np.float32) for k, s in manifest.items()}
+    converted, dropped = convert_flagship_state_dict(sd, cfg)
+    assert {k.split(".")[0] for k in dropped} == {
+        "extractor_pathology", "TwoWayTransformer_Both", "fc_CI",
+        "prompt_embedding", "clinic_extractor_CT", "clinic_extractor_Pth",
+        "extractor_CT", "aggregator"}   # last four: visual/BN-count/fc dead
+
+    batch = {"input_CT": jnp.zeros((1, 8, 32, 32, 1)),
+             "input_pathology": jnp.zeros((1, 12, 768)),
+             "input_CI": jnp.zeros((1, n_prompts, 77), jnp.int32)}
+    shapes = jax.eval_shape(
+        lambda: build_model(cfg).init(jax.random.PRNGKey(0), batch))
+    merged, report = merge_reference_checkpoint(dict(shapes), sd, cfg)
+    assert report["fresh"] == ["params/fc_CT/bias", "params/fc_CT/kernel",
+                               "params/fc_Pth/bias", "params/fc_Pth/kernel"]
+
+
 def test_import_torch_cli_roundtrip(tmp_path):
     """scripts/import_torch.py: torch .pth.tar (DDP 'module.' prefixed) →
     msgpack checkpoint whose params equal the direct conversion."""
