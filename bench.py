@@ -39,6 +39,8 @@ def _log(msg: str) -> None:
 
 def tpu_bags_per_sec() -> float:
     import jax
+    from llmmil_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from llmmil_tpu.config import Config
     from llmmil_tpu.models import build_model

@@ -40,6 +40,8 @@ def main(argv=None):
     ns = p.parse_args(argv)
 
     import jax
+    from llmmil_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from llmmil_tpu.config import Config
     from llmmil_tpu.models import build_model

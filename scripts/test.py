@@ -39,6 +39,8 @@ def main(argv=None):
     ns = parser.parse_args(argv)
 
     import jax
+    from llmmil_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     if ns.cpu:
         jax.config.update("jax_platforms", "cpu")
 
