@@ -180,41 +180,48 @@ def read_dicom_tags(path: str) -> Dict[str, Any]:
     reading stops at the pixel-data element.  The returned dict supports the
     reference's ``'RescaleSlope' in metadata`` checks (dataset.py:545).
     """
-    with open(path, "rb") as f:
-        head = f.read(132)
-        if len(head) >= 132 and head[128:132] == b"DICM":
-            pass                                   # standard preamble
-        else:
-            f.seek(0)                              # headerless stream
-
-        out: Dict[str, Any] = {}
-        explicit = True
-        transfer_syntax = _EXPLICIT_LE
-        # File-meta group (0002) is always explicit little-endian.
-        while True:
-            pos = f.tell()
-            tag = _read_tag(f)
-            if tag is None:
-                return out
-            f.seek(pos)
-            if tag[0] != 0x0002:
-                break
-            vr = None
-            f.seek(pos + 4)
-            vr = f.read(2)
-            if vr in _LONG_VRS:
-                f.seek(2, io.SEEK_CUR)
-                length = struct.unpack("<I", f.read(4))[0]
+    try:
+        with open(path, "rb") as f:
+            head = f.read(132)
+            if len(head) >= 132 and head[128:132] == b"DICM":
+                pass                               # standard preamble
             else:
-                length = struct.unpack("<H", f.read(2))[0]
-            raw = f.read(length)
-            if tag == (0x0002, 0x0010):
-                transfer_syntax = raw.decode("ascii", "ignore").strip("\x00")
-        explicit = transfer_syntax != _IMPLICIT_LE
+                f.seek(0)                          # headerless stream
 
-        while _walk_element(f, explicit, out) is not None:
-            pass
-        return out
+            out: Dict[str, Any] = {}
+            explicit = True
+            transfer_syntax = _EXPLICIT_LE
+            # File-meta group (0002) is always explicit little-endian.
+            while True:
+                pos = f.tell()
+                tag = _read_tag(f)
+                if tag is None:
+                    return out
+                f.seek(pos)
+                if tag[0] != 0x0002:
+                    break
+                vr = None
+                f.seek(pos + 4)
+                vr = f.read(2)
+                if vr in _LONG_VRS:
+                    f.seek(2, io.SEEK_CUR)
+                    length = struct.unpack("<I", f.read(4))[0]
+                else:
+                    length = struct.unpack("<H", f.read(2))[0]
+                raw = f.read(length)
+                if tag == (0x0002, 0x0010):
+                    transfer_syntax = raw.decode(
+                        "ascii", "ignore").strip("\x00")
+            explicit = transfer_syntax != _IMPLICIT_LE
+
+            while _walk_element(f, explicit, out) is not None:
+                pass
+            return out
+    except (struct.error, OSError) as e:
+        # a mid-element EOF or bad length field must surface as a clean
+        # per-file error, never a bare struct crash the loader can't
+        # attribute to a path
+        raise ValueError(f"{path}: truncated or corrupt DICOM ({e})") from e
 
 
 def write_dicom_ct_header(path: str, *, rescale_slope: float = 1.0,
@@ -293,14 +300,19 @@ def read_nrrd(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
     """
     with open(path, "rb") as f:
         blob = f.read()
-    nl = blob.index(b"\n")
+    nl = blob.find(b"\n")
+    if nl < 0:
+        raise ValueError(f"{path}: truncated NRRD (no header line)")
     magic = blob[:nl].decode("ascii", "ignore").strip()
     if not magic.startswith("NRRD"):
         raise ValueError(f"{path}: not an NRRD file ({magic!r})")
     header: Dict[str, str] = {}
     pos = nl + 1
     while True:
-        nl = blob.index(b"\n", pos)
+        nl = blob.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError(
+                f"{path}: truncated NRRD (header never terminated)")
         line = blob[pos:nl].decode("ascii", "ignore").rstrip("\r")
         pos = nl + 1
         if line == "":
@@ -318,21 +330,33 @@ def read_nrrd(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
     dtype = _NRRD_DTYPES.get(header.get("type", "").lower())
     if dtype is None:
         raise ValueError(f"{path}: unsupported NRRD type {header.get('type')}")
+    if "sizes" not in header:
+        raise ValueError(f"{path}: NRRD header missing 'sizes'")
     sizes = tuple(int(s) for s in header["sizes"].split())
     if header.get("endian", "little") == "big":
         dtype = np.dtype(dtype).newbyteorder(">")
     enc = header.get("encoding", "raw").lower()
     payload = blob[pos:]
-    if enc in ("gzip", "gz"):
-        payload = zlib.decompress(payload, zlib.MAX_WBITS | 32)
-    elif enc in ("ascii", "text", "txt"):
-        arr = np.array(payload.split(), dtype=np.dtype(dtype))
+    try:
+        if enc in ("gzip", "gz"):
+            payload = zlib.decompress(payload, zlib.MAX_WBITS | 32)
+        elif enc in ("ascii", "text", "txt"):
+            arr = np.array(payload.split(), dtype=np.dtype(dtype))
+            return arr.reshape(sizes, order="F"), header
+        elif enc != "raw":
+            raise ValueError(f"{path}: unsupported NRRD encoding {enc}")
+        count = int(np.prod(sizes))
+        arr = np.frombuffer(payload, dtype=dtype, count=count)
         return arr.reshape(sizes, order="F"), header
-    elif enc != "raw":
-        raise ValueError(f"{path}: unsupported NRRD encoding {enc}")
-    count = int(np.prod(sizes))
-    arr = np.frombuffer(payload, dtype=dtype, count=count)
-    return arr.reshape(sizes, order="F"), header
+    except (zlib.error, EOFError) as e:
+        raise ValueError(f"{path}: truncated or corrupt NRRD data "
+                         f"({e})") from e
+    except ValueError as e:
+        if str(e).startswith(path):
+            raise
+        # frombuffer/reshape size mismatches → attribute to the file
+        raise ValueError(f"{path}: NRRD data does not match header sizes "
+                         f"{sizes} ({e})") from e
 
 
 def write_nrrd(path: str, arr: np.ndarray, encoding: str = "gzip") -> None:
