@@ -216,17 +216,16 @@ def _convert_ct_extractor(t: _Taker, cfg: Config) -> Tuple[Dict, Dict]:
         "reference and feed them via batch['ct_features'] instead")
 
 
-# Dead-key patterns, per the module docstring.  Keys matching none of
-# these left over after conversion are an error (schema drift).
+# Unconditionally-dead key patterns, per the module docstring.  The
+# per-config dead set (the fusion towers / CI projections forward never
+# reads for a given modality mix) is computed in convert_flagship_state_dict
+# so a live tower the converter failed to consume can never be silently
+# classified as dead.
 _DEAD_PATTERNS = [
     r"^prompt_embedding$",
     r"^extractor_pathology\.",
     r"\._fc2\.(weight|bias)$",
-    r"^clinic_extractor\.model\.visual\.",
-    r"^clinic_extractor\.model\.logit_scale$",
     r"num_batches_tracked$",
-    r"^fc_CI2CT\.", r"^fc_CI2Pth\.", r"^fc_CI\.",      # filtered per-config
-    r"^TwoWayTransformer_(CT|Pth|Both)\.",             # filtered per-config
 ]
 
 
@@ -318,8 +317,25 @@ def convert_flagship_state_dict(sd: Dict, cfg: Config
 
     params["fc"] = _lin(t, "fc.1.")          # fc.0 is the Dropout
 
+    # Per-config dead set: whatever the always-created fusion surface
+    # (aggregator.py:36-76) leaves unused for this modality mix.
+    if has_ct and has_pth:
+        dead_live = ([r"^TwoWayTransformer_Both\."] if
+                     cfg.separate_CI_encoders else
+                     [r"^TwoWayTransformer_(CT|Pth)\."]) + [r"^fc_CI\."]
+    elif has_ct:
+        dead_live = [r"^TwoWayTransformer_Both\.", r"^fc_CI2Pth\.",
+                     r"^fc_CI\."]
+    elif has_pth:
+        dead_live = [r"^TwoWayTransformer_Both\.", r"^fc_CI2CT\.",
+                     r"^fc_CI\."]
+    else:
+        dead_live = [r"^TwoWayTransformer_Both\.", r"^fc_CI2CT\.",
+                     r"^fc_CI2Pth\."]
+    patterns = _DEAD_PATTERNS + dead_live
+
     bad = [k for k in t.left
-           if not any(re.search(p, k) for p in _DEAD_PATTERNS)]
+           if not any(re.search(p, k) for p in patterns)]
     if bad:
         raise ValueError(
             "reference state dict carries keys this converter does not "
