@@ -68,7 +68,8 @@ def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
     if cfg.model_CT == "medicalNet":
         return MedicalNetFeatures(dtype=dtype, **kw)
     if cfg.model_CT == "resnet2plus1d_18":
-        return Resnet2plus1D_18(dtype=dtype, **kw)
+        return Resnet2plus1D_18(dtype=dtype,
+                                temporal_mode=cfg.ct_temporal_mode, **kw)
     if "SwinUNETR" in cfg.model_CT:
         # 100 free crops vs 3 mask-centred crops (swinUNETR.py:27 /
         # swinUNETR_wMask.py:49); override for small/debug volumes

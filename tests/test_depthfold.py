@@ -149,3 +149,38 @@ def test_mc3_temporal_mode_same_params_same_output(mode):
     ref = base.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["dfold", "dsum", "dshift"])
+def test_r2plus1d_temporal_mode_same_params_same_output(mode):
+    """R(2+1)D's (3,1,1) temporal convs as depth-tap GEMMs: identical
+    param tree + numerics (fwd AND grads) vs the native 3-D conv path,
+    covering the stride-2 temporal convs of layers 2-4."""
+    from llmmil_tpu.models.ct_r2plus1d import Resnet2plus1D_18
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 16, 1)), jnp.float32)
+    base = Resnet2plus1D_18(remat=False, temporal_mode="conv3d")
+    folded = Resnet2plus1D_18(remat=False, temporal_mode=mode)
+    variables = base.init(jax.random.PRNGKey(5), x)
+    v2 = folded.init(jax.random.PRNGKey(5), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v2))
+
+    def loss(m):
+        def f(params):
+            y = m.apply({"params": params,
+                         "batch_stats": variables["batch_stats"]}, x)
+            return jnp.sum(y * y)
+        return f
+
+    ref_l, ref_g = jax.value_and_grad(loss(base))(variables["params"])
+    got_l, got_g = jax.value_and_grad(loss(folded))(variables["params"])
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=2e-4)
+    for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(got_g)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=str(pa))
