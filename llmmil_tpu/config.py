@@ -86,6 +86,10 @@ class Config:
     # 96³, or 3 mask-centred crops for the wMask variant)
     swin_n_subsample: int = 0
     swin_crop: List[int] = field(default_factory=list)
+    # encode Swin crops this many at a time (nn.scan loop; peak activation
+    # memory = one chunk) — 0 batches all crops at once, which OOMs a
+    # 16 GB chip at the reference's 100x96^3 load (BENCH_NOTES r3)
+    swin_crop_chunk: int = 25
     # MViT chunk encoder: 'v2_s' = MViT-v2-S multiscale architecture (the
     # reference's torchvision mvit_v2_s, mvit_v2.py:15); 'compact' = small
     # plain ViT.  mvit_depths=[] → the v2_s stage depths (1,2,11,2).

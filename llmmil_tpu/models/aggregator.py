@@ -66,7 +66,8 @@ def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
                             fwd_lowering=cfg.ct_fwd_lowering,
                             dtype=dtype, **kw)
     if cfg.model_CT == "medicalNet":
-        return MedicalNetFeatures(dtype=dtype, **kw)
+        return MedicalNetFeatures(dtype=dtype,
+                                  temporal_mode=cfg.ct_temporal_mode, **kw)
     if cfg.model_CT == "resnet2plus1d_18":
         return Resnet2plus1D_18(dtype=dtype,
                                 temporal_mode=cfg.ct_temporal_mode, **kw)
@@ -76,7 +77,9 @@ def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
         n_sub = cfg.swin_n_subsample or (
             3 if "wMask" in cfg.model_CT else 100)
         crop = tuple(cfg.swin_crop) if cfg.swin_crop else (96, 96, 96)
-        return SwinUNETRMIL(n_subsample=n_sub, crop=crop, dtype=dtype, **kw)
+        return SwinUNETRMIL(n_subsample=n_sub, crop=crop,
+                            crop_chunk=cfg.swin_crop_chunk, dtype=dtype,
+                            **kw)
     if cfg.model_CT == "MViT":
         mv_kw = dict(arch=cfg.mvit_arch)
         if cfg.mvit_depths:

@@ -458,11 +458,17 @@ class MedicalNetFeatures(nn.Module):
     """
     layers: Sequence[int] = (3, 4)
     dtype: jnp.dtype = jnp.float32
+    # depth-tap lowering for the (7,7,7) stem and (3,3,3) bottleneck convs
+    # (identical numerics/param tree — DepthFoldedConv); 'conv3d' keeps the
+    # native emitters
+    temporal_mode: str = "dfold"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.relu(_ConvBN(64, (7, 7, 7), (2, 2, 2), (3, 3, 3),
-                            dtype=self.dtype, name="stem")(x, train))
+                            dtype=self.dtype,
+                            temporal_mode=self.temporal_mode,
+                            name="stem")(x, train))
         # explicit (1,1) padding: torch MaxPool3d(3, 2, padding=1) window
         # alignment (SAME would shift windows and break weight-port parity)
         x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
@@ -472,6 +478,7 @@ class MedicalNetFeatures(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (i > 0 and b == 0) else 1
                 x = _Bottleneck3D(f, stride, self.dtype,
+                                  temporal_mode=self.temporal_mode,
                                   name=f"layer{i + 1}_{b}")(x, train)
         return x
 
@@ -480,6 +487,7 @@ class _Bottleneck3D(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    temporal_mode: str = "dfold"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -488,7 +496,9 @@ class _Bottleneck3D(nn.Module):
         y = nn.relu(_ConvBN(self.features, (1, 1, 1), (1, 1, 1), (0, 0, 0),
                             dtype=self.dtype, name="conv1")(x, train))
         y = nn.relu(_ConvBN(self.features, (3, 3, 3), s, (1, 1, 1),
-                            dtype=self.dtype, name="conv2")(y, train))
+                            dtype=self.dtype,
+                            temporal_mode=self.temporal_mode,
+                            name="conv2")(y, train))
         y = _ConvBN(out_f, (1, 1, 1), (1, 1, 1), (0, 0, 0),
                     dtype=self.dtype, name="conv3")(y, train)
         if x.shape[-1] != out_f or self.stride != 1:

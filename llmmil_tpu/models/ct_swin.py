@@ -114,10 +114,19 @@ def _random_crop_starts(rng, batch, n_crops, vol_shape, crop, center=None,
 
 class SwinUNETRMIL(nn.Module):
     """Crop-sample → SwinViT3D → gated-attention MIL over crops
-    (swinUNETR.py:27-65).  Returns (B, 768) pooled feature."""
+    (swinUNETR.py:27-65).  Returns (B, 768) pooled feature.
+
+    ``crop_chunk``: encode the crops ``crop_chunk`` at a time via an
+    ``nn.scan`` loop (one compiled encoder body, runtime iteration) instead
+    of one giant batch — peak activation memory is one chunk's.  The
+    reference's 100×96³ crop load OOMs a 16 GB chip when batched whole
+    (measured: 16.99 G program HBM, zoo bench r3); chunk 25 fits.  0 = all
+    at once.  Numerics identical either way (same params, same crops).
+    """
     n_subsample: int = 100
     crop: tuple = (96, 96, 96)
     att_dim: int = 192
+    crop_chunk: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -139,9 +148,33 @@ class SwinUNETRMIL(nn.Module):
             lambda s: crop_one(xb, s))(st))(x, starts)       # (B, n, ...)
         crops = crops.reshape(b * self.n_subsample, *self.crop,
                               x.shape[-1])
-        # one batched encoder pass over all crops (vs the reference's
-        # python loop, swinUNETR.py:50-57) — a single big MXU workload
-        feats = SwinViT3D(dtype=self.dtype, name="swinvit")(crops)
+        enc = SwinViT3D(dtype=self.dtype, name="swinvit")
+        nc = b * self.n_subsample
+        if self.crop_chunk and self.crop_chunk < nc:
+            k = self.crop_chunk
+            n_chunks = -(-nc // k)
+            pad = n_chunks * k - nc
+            if pad:
+                crops = jnp.concatenate(
+                    [crops, jnp.zeros((pad, *crops.shape[1:]),
+                                      crops.dtype)], axis=0)
+            chunked = crops.reshape(n_chunks, k, *crops.shape[1:])
+
+            def body(mdl, carry, xs):
+                return carry, mdl(xs)
+
+            # remat the body so the one-chunk memory bound holds under
+            # grad too (scan would otherwise stack every chunk's
+            # residuals — as large as the unchunked pass)
+            _, feats = nn.scan(
+                nn.remat(body), variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0)(enc, None, chunked)
+            feats = feats.reshape(n_chunks * k, -1)[:nc]
+        else:
+            # one batched encoder pass over all crops (vs the reference's
+            # python loop, swinUNETR.py:50-57) — a single big MXU workload
+            feats = enc(crops)
         feats = feats.reshape(b, self.n_subsample, -1)  # (B, n, 768)
 
         # in-module gated-attention MIL over crops (swinUNETR.py:33-44)

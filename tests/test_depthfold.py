@@ -184,3 +184,37 @@ def test_r2plus1d_temporal_mode_same_params_same_output(mode):
         np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
                                    rtol=3e-4, atol=3e-4,
                                    err_msg=str(pa))
+
+
+@pytest.mark.parametrize("mode", ["dfold", "dshift"])
+def test_medicalnet_temporal_mode_same_params_same_output(mode):
+    """MedicalNet's (7,7,7) stem + (3,3,3) bottleneck convs as depth-tap
+    2-D forms: identical param tree + numerics (fwd and grads, stride-2
+    layer2 included) vs the native 3-D emitters."""
+    from llmmil_tpu.models.ct_mc3 import MedicalNetFeatures
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 16, 1)), jnp.float32)
+    base = MedicalNetFeatures(layers=(1, 1), temporal_mode="conv3d")
+    folded = MedicalNetFeatures(layers=(1, 1), temporal_mode=mode)
+    variables = base.init(jax.random.PRNGKey(3), x)
+    v2 = folded.init(jax.random.PRNGKey(3), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v2))
+
+    def loss(m):
+        def f(params):
+            y = m.apply({"params": params,
+                         "batch_stats": variables["batch_stats"]}, x)
+            return jnp.sum(y * y)
+        return f
+
+    ref_l, ref_g = jax.value_and_grad(loss(base))(variables["params"])
+    got_l, got_g = jax.value_and_grad(loss(folded))(variables["params"])
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=2e-4)
+    for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(got_g)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=3e-4, atol=3e-4, err_msg=str(pa))

@@ -42,3 +42,25 @@ def test_swin_unetr_wmask_in_aggregator():
                       rngs={"crops": jax.random.PRNGKey(1)})
     assert out["probs"].shape == (1, 2)
     assert np.all(np.isfinite(np.asarray(out["probs"])))
+
+
+def test_swin_crop_chunking_matches_unchunked():
+    """crop_chunk encodes the crop batch in nn.scan chunks (the OOM fix for
+    the reference's 100-crop load) — numerics must equal the all-at-once
+    pass, including a chunk size that doesn't divide the crop count."""
+    import jax
+    import numpy as np
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 10, 12, 12, 1),
+                    jnp.float32)
+    base = SwinUNETRMIL(n_subsample=5, crop=(8, 8, 8), crop_chunk=0)
+    variables = base.init(jax.random.PRNGKey(1), x)
+    ref = base.apply(variables, x, rng=jax.random.PRNGKey(7))
+    for chunk in (2, 3, 5, 100):
+        m = SwinUNETRMIL(n_subsample=5, crop=(8, 8, 8), crop_chunk=chunk)
+        v2 = m.init(jax.random.PRNGKey(1), x)
+        assert (jax.tree_util.tree_structure(variables)
+                == jax.tree_util.tree_structure(v2))
+        got = m.apply(variables, x, rng=jax.random.PRNGKey(7))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
