@@ -196,9 +196,15 @@ class DepthFoldedConv(nn.Module):
             # the 3-D fwd emitter wins only at the half-lane cout-64
             # shapes (12.0 vs 16.4 ms at layer1); at cout>=128 the fold
             # form is already faster (1.98 vs 2.40 ms at the 128-ch
-            # temporal shape — scripts/bench_dpack3d.py stage sweep)
+            # temporal shape — scripts/bench_dpack3d.py stage sweep).
+            # Spatially-pointwise (kD,1,1) kernels (R(2+1)D's temporal
+            # convs) take the hybrid at ANY width: there the 3-D fwd
+            # emitter beats the fold fwd in-model (+28 ms across the
+            # R2+1D eval, zoo bench r3) while the fold GRADS beat the
+            # 3-D ones (-71 ms across its train step)
             if (self.fwd_lowering == "conv3d" and not use_pl
-                    and cin >= 8 and self.features < 128):
+                    and cin >= 8 and (self.features < 128
+                                      or (kh == 1 and kw == 1))):
                 def conv3d_form(xp_, k_):
                     y = jax.lax.conv_general_dilated(
                         xp_.astype(dt), k_, (sd, sh, sw),

@@ -21,6 +21,7 @@ class _Conv2Plus1D(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "dfold"
+    fwd_lowering: str = "conv3d"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,6 +42,7 @@ class _Conv2Plus1D(nn.Module):
             return DepthFoldedConv(self.features, (3, 1, 1),
                                    (self.stride, 1, 1), (1, 0, 0),
                                    mode=self.temporal_mode,
+                                   fwd_lowering=self.fwd_lowering,
                                    dtype=self.dtype, name="temporal")(y)
         return nn.Conv(self.features, (3, 1, 1), (self.stride, 1, 1),
                        padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
@@ -52,16 +54,18 @@ class _R2Plus1DBlock(nn.Module):
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "dfold"
+    fwd_lowering: str = "conv3d"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = _Conv2Plus1D(self.features, self.stride, self.dtype,
-                         self.temporal_mode, name="conv1")(x, train)
+                         self.temporal_mode, self.fwd_lowering,
+                         name="conv1")(x, train)
         y = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  name="bn1")(y))
         y = _Conv2Plus1D(self.features, 1, self.dtype, self.temporal_mode,
-                         name="conv2")(y, train)
+                         self.fwd_lowering, name="conv2")(y, train)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         if x.shape[-1] != self.features or self.stride != 1:
@@ -77,10 +81,15 @@ class Resnet2plus1D_18(nn.Module):
     ``temporal_mode``: lowering for the (3,1,1) temporal convs —
     'dfold'/'dsum'/'dshift' compute them as depth-tap GEMMs (identical
     numerics + param tree, see DepthFoldedConv), 'conv3d' keeps the
-    native 3-D emitter."""
+    native 3-D emitter.  ``fwd_lowering='conv3d'`` (the default, measured
+    ruling in BENCH_NOTES r3) emits the FORWARD on the native 3-D emitter
+    (it beat the fold fwd in-model: eval 122.6 vs 151.1 ms) while the
+    GRADS stay on the depth-tap GEMMs (train 653.6 vs 696.8 ms for the
+    full-conv3d path)."""
     remat: bool = True
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "dfold"
+    fwd_lowering: str = "conv3d"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -102,6 +111,7 @@ class Resnet2plus1D_18(nn.Module):
             for b in range(2):
                 stride = 2 if (i > 0 and b == 0) else 1
                 x = block(feats, stride, self.dtype, self.temporal_mode,
+                          self.fwd_lowering,
                           name=f"layer{i + 1}_{b}")(x, train)
         x = x.mean(axis=(1, 2, 3))                      # global avg pool
         x = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc0")(x))

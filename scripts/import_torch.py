@@ -16,7 +16,6 @@ Pass the SAME model flags the reference run used (--modality, --model_CT,
 against that architecture and fails loudly on drift.
 """
 
-import argparse
 import os
 import sys
 
