@@ -69,8 +69,14 @@ def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
         return MedicalNetFeatures(dtype=dtype,
                                   temporal_mode=cfg.ct_temporal_mode, **kw)
     if cfg.model_CT == "resnet2plus1d_18":
+        # the config default 'dfold' resolves to this trunk's measured
+        # best, the mode-dependent 'auto' lowering (parity-exact either
+        # way — see Resnet2plus1D_18 docstring); explicit
+        # 'conv3d'/'dsum'/'dshift' still force a single form
+        tm = cfg.ct_temporal_mode
         return Resnet2plus1D_18(dtype=dtype,
-                                temporal_mode=cfg.ct_temporal_mode, **kw)
+                                temporal_mode="auto" if tm == "dfold"
+                                else tm, **kw)
     if "SwinUNETR" in cfg.model_CT:
         # 100 free crops vs 3 mask-centred crops (swinUNETR.py:27 /
         # swinUNETR_wMask.py:49); override for small/debug volumes

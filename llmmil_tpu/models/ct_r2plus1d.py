@@ -31,7 +31,19 @@ class _Conv2Plus1D(nn.Module):
         y = _ConvBN(mid, (1, 3, 3), (1, self.stride, self.stride),
                     (0, 1, 1), dtype=self.dtype, name="spatial")(x, train)
         y = nn.relu(y)
-        if self.temporal_mode != "conv3d":
+        mode, fwd = self.temporal_mode, self.fwd_lowering
+        if mode == "auto":
+            # Mode-dependent lowering (zoo A/B, BENCH_NOTES r3): the train
+            # step wants the all-fold form (653.6 ms/step vs 682.2 hybrid
+            # / 696.8 native — the custom_vjp hybrid blocks the fold's
+            # fusion into its BN/relu producers, keeping only a third of
+            # the grad win), while eval wants the native 3-D emitter
+            # (122.6 ms/patient vs 125.1 hybrid / 151.1 fold).  train and
+            # eval are separate jitted programs over the SAME param tree,
+            # and the lowerings are parity-exact (tests below), so each
+            # program takes its measured winner.
+            mode, fwd = ("dfold", "fold") if train else ("conv3d", None)
+        if mode != "conv3d":
             # (3,1,1) temporal conv as depth-tap GEMMs (dfold with 1x1
             # spatial = concat 3 shifted views, one (3*Cin, F)
             # contraction): same param name/shape as nn.Conv, but rides
@@ -41,8 +53,7 @@ class _Conv2Plus1D(nn.Module):
             # vs MC3's 3.8x before this lowering)
             return DepthFoldedConv(self.features, (3, 1, 1),
                                    (self.stride, 1, 1), (1, 0, 0),
-                                   mode=self.temporal_mode,
-                                   fwd_lowering=self.fwd_lowering,
+                                   mode=mode, fwd_lowering=fwd,
                                    dtype=self.dtype, name="temporal")(y)
         return nn.Conv(self.features, (3, 1, 1), (self.stride, 1, 1),
                        padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
@@ -81,14 +92,16 @@ class Resnet2plus1D_18(nn.Module):
     ``temporal_mode``: lowering for the (3,1,1) temporal convs —
     'dfold'/'dsum'/'dshift' compute them as depth-tap GEMMs (identical
     numerics + param tree, see DepthFoldedConv), 'conv3d' keeps the
-    native 3-D emitter.  ``fwd_lowering='conv3d'`` (the default, measured
-    ruling in BENCH_NOTES r3) emits the FORWARD on the native 3-D emitter
-    (it beat the fold fwd in-model: eval 122.6 vs 151.1 ms) while the
-    GRADS stay on the depth-tap GEMMs (train 653.6 vs 696.8 ms for the
-    full-conv3d path)."""
+    native 3-D emitter, 'auto' (the default) picks per jitted program:
+    all-fold in train, native 3-D in eval.  Measured ruling (zoo bench,
+    BENCH_NOTES r3): train 653.6 (fold) / 682.2 (custom_vjp hybrid) /
+    696.8 (native) ms/step; eval 122.6 (native) / 125.1 (hybrid) / 151.1
+    (fold) ms/patient — the hybrid keeps only a third of the fold's grad
+    win because its custom_vjp boundary blocks fusion into the BN/relu
+    producers, so mode-dependent lowering beats any single form."""
     remat: bool = True
     dtype: jnp.dtype = jnp.float32
-    temporal_mode: str = "dfold"
+    temporal_mode: str = "auto"
     fwd_lowering: str = "conv3d"
 
     @nn.compact

@@ -32,6 +32,12 @@ def _tiny_batch(cfg):
     if "CT" in cfg.modality:
         batch["input_CT"] = jnp.asarray(
             rs.rand(1, 8, 32, 32, 1), jnp.float32)
+        if "wMask" in cfg.model_CT:
+            # without this the wMask trunks init a 1-channel stem (the
+            # mask concat is batch-keyed) and the reference's 2-channel
+            # weights would fail shape validation
+            batch["mask_CT"] = jnp.asarray(
+                (rs.rand(1, 8, 32, 32, 1) > 0.5), jnp.float32)
     if "pathology" in cfg.modality:
         batch["input_pathology"] = jnp.asarray(
             rs.rand(1, 12, 768), jnp.float32)

@@ -186,6 +186,48 @@ def test_r2plus1d_temporal_mode_same_params_same_output(mode):
                                    err_msg=str(pa))
 
 
+def test_r2plus1d_auto_mode_train_eval_parity():
+    """temporal_mode='auto' (the default) lowers train on the all-fold
+    form and eval on the native 3-D emitter over ONE param tree — both
+    programs must match the native lowering exactly (fwd + grads in train
+    mode, fwd in eval mode)."""
+    from llmmil_tpu.models.ct_r2plus1d import Resnet2plus1D_18
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 16, 1)), jnp.float32)
+    base = Resnet2plus1D_18(remat=False, temporal_mode="conv3d")
+    auto = Resnet2plus1D_18(remat=False)          # default: 'auto'
+    variables = base.init(jax.random.PRNGKey(5), x)
+    v2 = auto.init(jax.random.PRNGKey(5), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v2))
+
+    # eval program: auto == native conv3d
+    np.testing.assert_allclose(
+        np.asarray(auto.apply(variables, x)),
+        np.asarray(base.apply(variables, x)), rtol=2e-4, atol=2e-4)
+
+    # train program: auto takes the fold lowering — loss + grads match
+    def loss(m):
+        def f(params):
+            y, _ = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(y * y)
+        return f
+
+    ref_l, ref_g = jax.value_and_grad(loss(base))(variables["params"])
+    got_l, got_g = jax.value_and_grad(loss(auto))(variables["params"])
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=2e-4)
+    for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(got_g)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=str(pa))
+
+
 @pytest.mark.parametrize("mode", ["dfold", "dshift"])
 def test_medicalnet_temporal_mode_same_params_same_output(mode):
     """MedicalNet's (7,7,7) stem + (3,3,3) bottleneck convs as depth-tap
