@@ -200,16 +200,37 @@ def _extractor_vars(variables):
     return variables
 
 
+def _impl_for(cfg):
+    """(runner, sites_fn) for ``cfg.model_CT`` — the MC3 runner in this
+    module, or the zoo runners (``eval/quant_zoo.py``).  ``sites_fn`` is
+    None for MC3 (its site walk lives in :func:`quantize_ct_trunk`)."""
+    m = cfg.model_CT
+    if m in ("resnetMC3_18", "resnetMC3_18_wMask"):
+        return run_trunk, None
+    if m == "resnet2plus1d_18":
+        from .quant_zoo import _sites_r2p1d, run_r2p1d_trunk
+        return run_r2p1d_trunk, _sites_r2p1d
+    if m == "medicalNet":
+        from .quant_zoo import _sites_mednet, run_mednet_trunk
+        return run_mednet_trunk, _sites_mednet
+    raise ValueError(
+        f"ct_int8 is unsupported for model_CT={m!r}: only the conv trunks "
+        "(resnetMC3_18[_wMask], resnet2plus1d_18, medicalNet) have int8 "
+        "runners; the attention trunks (SwinUNETR*, MViT) are matmul-"
+        "dominated and need weight+activation GEMM quantization instead")
+
+
 def calibrate_ct_trunk(cfg, variables, volumes, dtype=jnp.float32):
     """Run the float trunk over ``volumes`` (iterable of (B,D,H,W,1))
     and return per-site activation scales {site: max|x|/127}."""
+    runner, _ = _impl_for(cfg)
     sub = _extractor_vars(variables)
     agg = {}
 
     @jax.jit
     def one(x):
         obs = {}
-        run_trunk(cfg, sub, x, observed=obs, dtype=dtype)
+        runner(cfg, sub, x, observed=obs, dtype=dtype)
         return obs
 
     for v in volumes:
@@ -227,6 +248,13 @@ def quantize_ct_trunk(cfg, variables, scales, dtype=jnp.float32):
     site + the float variables (stems/BN) + activation scales."""
     sub = _extractor_vars(variables)
     params = sub["params"]
+    _, sites_fn = _impl_for(cfg)
+    if sites_fn is not None:                       # zoo trunk
+        kq_pack = {name: _quant_w(k2) for name, k2 in sites_fn(params)}
+        missing = set(kq_pack) - set(scales)
+        if missing:
+            raise ValueError(f"calibration missed sites: {sorted(missing)}")
+        return {"variables": sub, "scales": dict(scales), "kq": kq_pack}
     kq_pack = {}
     for stage, (n_blocks, _) in _BLOCKS.items():
         for b_ in range(n_blocks):
@@ -243,8 +271,9 @@ def quantize_ct_trunk(cfg, variables, scales, dtype=jnp.float32):
 
 def run_trunk_int8(cfg, qpack, x, dtype=jnp.float32):
     """Jittable int8 trunk forward over a prepared ``qpack``."""
-    return run_trunk(cfg, qpack["variables"], x, scales=qpack["scales"],
-                     kq_pack=qpack["kq"], dtype=dtype)
+    runner, _ = _impl_for(cfg)
+    return runner(cfg, qpack["variables"], x, scales=qpack["scales"],
+                  kq_pack=qpack["kq"], dtype=dtype)
 
 
 def int8_ct_features(cfg, variables, calib_volumes, dtype=jnp.bfloat16):

@@ -148,10 +148,29 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     qdt = (jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype
            else jnp.float32)
     eval_batches = loader
+
+    def _int8_ct_input(b):
+        """The trunk input the int8 runner must see: wMask configs concat
+        the tumour mask as a second channel BEFORE the trunk (exactly like
+        Aggregator.__call__ — the stem kernel has cin=2)."""
+        x = b["input_CT"]
+        if "wMask" in cfg.model_CT and "mask_CT" in b:
+            x = jnp.concatenate([x, b["mask_CT"].astype(x.dtype)], axis=-1)
+        return x
+
     if ct_int8:
         import itertools
 
         from .quant import calibrate_ct_trunk, quantize_ct_trunk
+        if (cfg.model_family in ("clip", "concat")
+                or ("wMask" in cfg.model_CT
+                    and cfg.wmask_family == "concat")):
+            # the baseline aggregators consume input_CT directly and have
+            # no precomputed-feature injection path (models/baselines.py)
+            raise ValueError(
+                "ct_int8 serves precomputed trunk features through the "
+                "flagship's ct_features path; the clip/concat/wMask-concat "
+                "baseline families don't take ct_features")
         variables = {"params": state.params}
         if state.batch_stats is not None and jax.tree_util.tree_leaves(
                 state.batch_stats):
@@ -165,7 +184,7 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
         for batch in it:
             head.append(batch)
             if "input_CT" in batch:
-                calib.append(batch["input_CT"])
+                calib.append(_int8_ct_input(batch))
             if len(calib) >= ct_int8:
                 break
         eval_batches = itertools.chain(head, it)
@@ -188,7 +207,7 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
             batch = dict(batch, ct_features=feat)
         elif qp is not None and "input_CT" in batch:
             from .quant import run_trunk_int8
-            feat = run_trunk_int8(cfg, qp, batch["input_CT"], dtype=qdt)
+            feat = run_trunk_int8(cfg, qp, _int8_ct_input(batch), dtype=qdt)
             batch = {k: v for k, v in batch.items() if k != "input_CT"}
             batch = dict(batch, ct_features=feat)
         return model.apply(variables, batch, train=False)["probs"]
@@ -224,7 +243,8 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
             b = db
             if qpack is not None and "input_CT" in b:
                 from .quant import run_trunk_int8
-                feat = run_trunk_int8(cfg, qpack, b["input_CT"], dtype=qdt)
+                feat = run_trunk_int8(cfg, qpack, _int8_ct_input(b),
+                                      dtype=qdt)
                 b = {k: v for k, v in b.items() if k != "input_CT"}
                 b = dict(b, ct_features=feat)
             return model.apply(var_local, b, train=False)["probs"]
