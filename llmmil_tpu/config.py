@@ -225,6 +225,25 @@ class Config:
     # (train_ddp.py:79); this makes the beyond-reference sharding usable
     # where that DDP actually runs.  MC3-family trunks only.
     ct_shard_axis: str = ""
+    # Mixture-of-Experts FFN in the TransMIL aggregator blocks (beyond
+    # reference: the reference TransLayer is attention-only,
+    # model/dim1/TransMIL.py:8-28).  moe_experts=0 (default) is OFF —
+    # reference param tree and numerics untouched.  >0 adds a pre-norm
+    # routed FFN (GShard grouped dispatch, top-k routing with capacity,
+    # Switch load-balance aux loss weighted by moe_aux_weight) to each
+    # TransLayer when aggregator == 'TransMIL' (models/moe.py).
+    moe_experts: int = 0
+    moe_hidden: int = 1024
+    moe_k: int = 2
+    moe_capacity: float = 1.25
+    moe_group: int = 512
+    moe_aux_weight: float = 0.01
+    # Expert parallelism: name of the mesh axis sharding the expert-major
+    # MoE params (dim 0) — parallel/ep.py's path-keyed GSPMD annotations;
+    # XLA propagates the layout through the dispatch/expert/combine
+    # einsums and places the all-to-alls on ICI.  Matches the replicated
+    # step to float tolerance (tests/test_moe.py).  Empty = off.
+    ep_axis: str = ""
     # CT-trunk rematerialisation: 'all' | 'early' (stages 1-2) | 'layer2'
     # (stage 2 only) | 'none'.  Measured at full size on v5e with the dfold
     # temporal lowering (BENCH_NOTES r2): train step 384 ms 'early' /

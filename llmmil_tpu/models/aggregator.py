@@ -146,8 +146,10 @@ class Aggregator(nn.Module):
             return ABMILv2(L=EMBED_DIM, dtype=self.dtype,
                            use_pallas=self._use_pallas(), name=name)
         if kind == "TransMIL":
+            from .moe import spec_from_config
             return TransMIL(n_classes=c.num_classes, L=EMBED_DIM,
-                            dtype=self.dtype, name=name)
+                            dtype=self.dtype, moe=spec_from_config(c),
+                            name=name)
         if kind == "TransMIL_per_modality":
             from .transmil_per_modality import TransMILPerModality
             return TransMILPerModality(

@@ -11,12 +11,16 @@ matches the reference's unmasked numerics.
 from __future__ import annotations
 
 import math
+from typing import TYPE_CHECKING, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
 from ..ops.nystrom import nystrom_attention
+
+if TYPE_CHECKING:                                   # pragma: no cover
+    from .moe import MoESpec
 
 
 class NystromSelfAttention(nn.Module):
@@ -109,9 +113,15 @@ class NystromSelfAttention(nn.Module):
 
 
 class TransLayer(nn.Module):
-    """Pre-norm Nyström block with residual (TransMIL.py:8-28)."""
+    """Pre-norm Nyström block with residual (TransMIL.py:8-28).
+
+    ``moe``: optional routed-FFN residual block after the attention
+    (models/moe.py — beyond reference, the reference block is
+    attention-only; None keeps the reference param tree and numerics).
+    """
     dim: int = 512
     dtype: jnp.dtype = jnp.float32
+    moe: "Optional[MoESpec]" = None
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False,
@@ -122,7 +132,17 @@ class TransLayer(nn.Module):
             residual=True, dropout=0.1, dtype=self.dtype,
             name="attn")(nn.LayerNorm(name="norm")(x), mask, train,
                          return_attn)
-        return x + y, attn
+        x = x + y
+        if self.moe is not None:
+            from .moe import MoEFFN
+            m = self.moe
+            x = x + MoEFFN(dim=self.dim, hidden=m.hidden,
+                           n_experts=m.experts, k=m.k,
+                           capacity_factor=m.capacity_factor,
+                           group_size=m.group_size, dtype=self.dtype,
+                           name="moe")(nn.LayerNorm(name="moe_norm")(x),
+                                       mask=mask, train=train)
+        return x, attn
 
 
 class PPEG(nn.Module):
@@ -161,6 +181,7 @@ class TransMIL(nn.Module):
     L: int = 768
     D: int = 512
     dtype: jnp.dtype = jnp.float32
+    moe: "Optional[MoESpec]" = None
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False,
@@ -182,11 +203,11 @@ class TransMIL(nn.Module):
         if mask is not None:
             mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
 
-        h, attn0 = TransLayer(self.D, self.dtype, name="layer1")(
-            h, mask, train, return_attn)
+        h, attn0 = TransLayer(self.D, self.dtype, moe=self.moe,
+                              name="layer1")(h, mask, train, return_attn)
         h = PPEG(self.D, self.dtype, name="pos_layer")(h, side, side, mask)
-        h, attn1 = TransLayer(self.D, self.dtype, name="layer2")(
-            h, mask, train, return_attn)
+        h, attn1 = TransLayer(self.D, self.dtype, moe=self.moe,
+                              name="layer2")(h, mask, train, return_attn)
 
         h = nn.LayerNorm(name="norm")(h)[:, 0]
         return h, [attn0, attn1]

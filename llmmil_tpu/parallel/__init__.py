@@ -8,6 +8,7 @@ from .multihost import initialize_from_args, is_primary, global_device_mesh
 from .prefetch import prefetch_to_device
 from .fsdp import fsdp_shardings, fsdp_spec, shard_state
 from .tp import tp_shardings, tp_spec, shard_state_tp, DEFAULT_TP_RULES
+from .ep import ep_shardings, shard_state_ep, EP_RULES
 from .pp import gpipe_blocks, clip_blocks_pipeline
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding",
@@ -18,4 +19,5 @@ __all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding",
            "global_device_mesh", "prefetch_to_device",
            "fsdp_shardings", "fsdp_spec", "shard_state",
            "tp_shardings", "tp_spec", "shard_state_tp",
-           "DEFAULT_TP_RULES", "gpipe_blocks", "clip_blocks_pipeline"]
+           "DEFAULT_TP_RULES", "ep_shardings", "shard_state_ep",
+           "EP_RULES", "gpipe_blocks", "clip_blocks_pipeline"]

@@ -198,12 +198,30 @@ def fit(cfg: Config, train_loader, valid_loader,
     state_shardings = None
     if use_mesh and jax.device_count() > 1:
         mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
-        if getattr(cfg, "tp_axis", ""):
-            # Megatron-pattern tensor parallelism (optionally + FSDP on
-            # the non-TP dims): parallel/tp.py's path-keyed annotations
-            from ..parallel.tp import shard_state_tp
+        tp_ax = getattr(cfg, "tp_axis", "")
+        ep_ax = getattr(cfg, "ep_axis", "")
+        if tp_ax and ep_ax and tp_ax != ep_ax:
+            raise ValueError(
+                "tp_axis and ep_axis compose only over the SAME mesh "
+                "axis (experts shard dim 0 alongside the Megatron rules "
+                "— parallel/ep.py); got different axes "
+                f"{tp_ax!r} vs {ep_ax!r}")
+        if tp_ax:
+            # Megatron-pattern tensor parallelism (optionally + MoE
+            # expert parallelism on the same axis, + FSDP on the
+            # remaining dims): path-keyed annotations, disjoint rule
+            # sets merged into one pass
+            from ..parallel.ep import EP_RULES
+            from ..parallel.tp import DEFAULT_TP_RULES, shard_state_tp
+            rules = DEFAULT_TP_RULES + (EP_RULES if ep_ax else ())
             state, state_shardings = shard_state_tp(
-                state, mesh, cfg.tp_axis,
+                state, mesh, tp_ax, rules=rules,
+                fsdp_axis=getattr(cfg, "fsdp_axis", "") or None)
+        elif getattr(cfg, "ep_axis", ""):
+            # expert parallelism for the MoE FFN params (parallel/ep.py)
+            from ..parallel.ep import shard_state_ep
+            state, state_shardings = shard_state_ep(
+                state, mesh, cfg.ep_axis,
                 fsdp_axis=getattr(cfg, "fsdp_axis", "") or None)
         elif getattr(cfg, "fsdp_axis", ""):
             # FSDP: shard params/opt-state over the axis (ZeRO-3); XLA

@@ -120,23 +120,35 @@ def make_train_step(cfg: Config, donate: bool = True, mesh=None,
             feat, ext_stats = ct_trunk(
                 params, variables.get("batch_stats"), ct_in)
             batch = dict(batch, ct_features=feat)
+        mutable = ["batch_stats"] if has_bn else []
+        if getattr(cfg, "moe_experts", 0):
+            # MoE FFN blocks sow their Switch load-balance aux loss into
+            # the 'moe' collection (models/moe.py)
+            mutable = mutable + ["moe"]
         out, mutated = (pp_apply or state.apply_fn)(
-            variables, batch, train=True,
-            rngs=rngs, mutable=["batch_stats"] if has_bn else [])
+            variables, batch, train=True, rngs=rngs, mutable=mutable)
         if ext_stats is not None:
             bs = dict(mutated.get("batch_stats", {}))
             bs["extractor_CT"] = ext_stats
             mutated = dict(mutated, batch_stats=bs)
         terms = multihead_loss(out, batch["label"], cfg.loss_point,
                                cfg.loss, cfg.num_classes)
-        return terms["loss"], (terms, out, mutated)
+        loss = terms["loss"]
+        if getattr(cfg, "moe_experts", 0) and "moe" in mutated:
+            aux_leaves = jax.tree_util.tree_leaves(mutated["moe"])
+            aux = sum(jnp.asarray(a, jnp.float32) for a in aux_leaves) \
+                / max(len(aux_leaves), 1)           # mean over MoE layers
+            terms = dict(terms, moe_aux=aux)
+            loss = loss + cfg.moe_aux_weight * aux
+            terms["loss"] = loss
+        return loss, (terms, out, mutated)
 
     def step(state: TrainState, batch: Dict, rng) -> tuple:
         rng = jax.random.fold_in(rng, state.step)
         grads, (terms, out, mutated) = jax.grad(
             loss_fn, has_aux=True)(state.params, state, batch, rng)
         new_state = state.apply_gradients(grads=grads)
-        if mutated:
+        if mutated and "batch_stats" in mutated:
             new_state = new_state.replace(
                 batch_stats=mutated["batch_stats"])
         preds = jnp.argmax(out["probs"], axis=-1)
