@@ -225,6 +225,18 @@ class Config:
     # (train_ddp.py:79); this makes the beyond-reference sharding usable
     # where that DDP actually runs.  MC3-family trunks only.
     ct_shard_axis: str = ""
+    # Per-compile XLA option overrides for the jitted train/eval steps
+    # ("key=value" entries, passed as jax.jit(compiler_options=...) —
+    # they serialize through PJRT CompileOptions, so unlike client-side
+    # XLA_FLAGS they reach the REMOTE compiler on tunneled backends;
+    # utils/cache.py::compiler_options_from_cfg).  xla_tpu_* keys are
+    # dropped automatically on non-TPU backends (CPU tests/dryrun).
+    # Default: the measured flagship winner from the scoped-VMEM sweep
+    # (BENCH_NOTES r3, scripts/bench_xla_flags.py: 274.5 -> 260.2
+    # ms/step at 32 MiB; the 16 MiB default, 24/48/64/128 MiB and the
+    # latency-hiding scheduler were all neutral-to-worse).
+    xla_options: List[str] = field(
+        default_factory=lambda: ["xla_tpu_scoped_vmem_limit_kib=32768"])
     # Mixture-of-Experts FFN in the TransMIL aggregator blocks (beyond
     # reference: the reference TransLayer is attention-only,
     # model/dim1/TransMIL.py:8-28).  moe_experts=0 (default) is OFF —

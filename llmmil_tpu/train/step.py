@@ -158,14 +158,18 @@ def make_train_step(cfg: Config, donate: bool = True, mesh=None,
         metrics["probs"] = out["probs"]
         return new_state, metrics
 
+    from ..utils import compiler_options_from_cfg
+    copts = compiler_options_from_cfg(cfg)
     donate_argnums = (0,) if donate else ()
     if state_shardings is not None:
         # FSDP: pin the state argument and the returned state to the same
         # sharded layout; batch/rng/metrics stay unconstrained (None)
         return jax.jit(step, donate_argnums=donate_argnums,
                        in_shardings=(state_shardings, None, None),
-                       out_shardings=(state_shardings, None))
-    return jax.jit(step, donate_argnums=donate_argnums)
+                       out_shardings=(state_shardings, None),
+                       compiler_options=copts)
+    return jax.jit(step, donate_argnums=donate_argnums,
+                   compiler_options=copts)
 
 
 def make_eval_step(cfg: Config):
@@ -186,4 +190,5 @@ def make_eval_step(cfg: Config):
         metrics["probs"] = out["probs"]
         return metrics
 
-    return jax.jit(step)
+    from ..utils import compiler_options_from_cfg
+    return jax.jit(step, compiler_options=compiler_options_from_cfg(cfg))
