@@ -45,13 +45,19 @@ def pad_bag(feat: np.ndarray, target: int
     """Zero-pad (n, d) to (target, d) + bool validity mask; truncates if
     n > target (keeps the first rows, like the reference's fixed buffer,
     dataset.py:383-391).  Uses the native C++ packer when built."""
+    n, d = feat.shape
+    if n >= target and feat.dtype == np.float32:
+        # no-copy fast path (checked BEFORE the native packer, which
+        # always fills a fresh buffer): a full bucket needs only a slice
+        # view — astype/pack would copy the 46 MB buffer
+        return feat[:target], np.ones(target, bool)
     from . import native
     packed = native.pack_bag(feat, target)
     if packed is not None:
         return packed
-    n, d = feat.shape
     if n >= target:
-        return feat[:target].astype(np.float32), np.ones(target, bool)
+        return (np.asarray(feat[:target], dtype=np.float32),
+                np.ones(target, bool))
     out = np.zeros((target, d), dtype=np.float32)
     out[:n] = feat
     mask = np.zeros(target, bool)

@@ -364,23 +364,33 @@ class BatchLoader:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         return idx
 
+    @staticmethod
+    def _stack(arrs):
+        # batch 1 (the production serving batch): a leading-axis VIEW
+        # instead of np.stack's copy — at production size the CT volume
+        # alone is a 168 MB memcpy (~40% of the measured 160 ms collate,
+        # BENCH_NOTES r3 pass 2)
+        if len(arrs) == 1:
+            return arrs[0][None]
+        return np.stack(arrs)
+
     def _collate(self, samples: List[Dict]) -> Dict:
+        st = self._stack
         batch: Dict = {"ID": [s["ID"] for s in samples]}
-        batch["label"] = np.stack([s["label"] for s in samples])
+        batch["label"] = st([s["label"] for s in samples])
         if "input_CT" in samples[0]:
-            batch["input_CT"] = np.stack([s["input_CT"] for s in samples])
+            batch["input_CT"] = st([s["input_CT"] for s in samples])
         if "mask_CT" in samples[0]:
-            batch["mask_CT"] = np.stack([s["mask_CT"] for s in samples])
+            batch["mask_CT"] = st([s["mask_CT"] for s in samples])
         if "input_pathology" in samples[0]:
             longest = max(s["input_pathology"].shape[0] for s in samples)
             target = bucket_for(longest, self.buckets)
             feats, masks = zip(*(pad_bag(s["input_pathology"], target)
                                  for s in samples))
-            batch["input_pathology"] = np.stack(feats)
-            batch["mask_pathology"] = np.stack(masks)
-            batch["BpRc_class"] = np.stack(
-                [s["BpRc_class"] for s in samples])
-        batch["input_CI"] = np.stack([s["input_CI"] for s in samples])
+            batch["input_pathology"] = st(list(feats))
+            batch["mask_pathology"] = st(list(masks))
+            batch["BpRc_class"] = st([s["BpRc_class"] for s in samples])
+        batch["input_CI"] = st([s["input_CI"] for s in samples])
         return batch
 
     def _produce(self) -> Iterator[Dict]:

@@ -187,7 +187,9 @@ def main(argv=None):
             f"{row['pathologyimage']}/{row['patientid']}.npy")
     results["bag_load"] = median_ms(
         lambda: np.load(bagp).astype(np.float32), ns.reps)
+    results["ci_glue"] = median_ms(lambda: ds._load_ci(row), ns.reps)
     results["dataset_item"] = median_ms(lambda: ds[0], ns.reps)
+    results["dataset_item+cache"] = median_ms(lambda: ds_c[0], ns.reps)
     samples = [ds[i] for i in range(min(2, len(ds)))]
     loader = BatchLoader(ds, 1, prefetch=0)
     results["collate"] = median_ms(lambda: loader._collate(samples),

@@ -56,6 +56,9 @@ def main(argv=None):
                         " 100, or 3 for wMask)")
     p.add_argument("--swin_crop", type=int, default=0,
                    help="SwinUNETR cubic crop side (0 = reference 96)")
+    p.add_argument("--ct_int8", action="store_true",
+                   help="also time the int8-quantized CT trunk eval "
+                        "(eval/quant.py dispatch — conv trunks only)")
     ns = p.parse_args(argv)
 
     import jax
@@ -111,7 +114,8 @@ def main(argv=None):
     print(f"{ns.model_ct}: CT {batch['input_CT'].shape} "
           f"bag {batch['input_pathology'].shape}", flush=True)
     t0 = time.perf_counter()
-    state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0),
+                               jit_init=True)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"init {time.perf_counter() - t0:.1f}s, "
           f"params {n_params / 1e6:.1f}M", flush=True)
@@ -138,6 +142,32 @@ def main(argv=None):
 
     estep = make_eval_step(cfg)
     measure(lambda: estep(state, batch)["loss"], "eval")
+    if ns.ct_int8:
+        from llmmil_tpu.eval.quant import (calibrate_ct_trunk,
+                                           quantize_ct_trunk,
+                                           run_trunk_int8)
+        qdt = jnp.bfloat16
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        ct_in = batch["input_CT"]
+        if "wMask" in ns.model_ct:
+            ct_in = jnp.concatenate(
+                [ct_in, batch["mask_CT"].astype(ct_in.dtype)], axis=-1)
+        t0 = time.perf_counter()
+        scales = calibrate_ct_trunk(cfg, variables, [ct_in], dtype=qdt)
+        qpack = quantize_ct_trunk(cfg, variables, scales, dtype=qdt)
+        print(f"int8 calib+quant {time.perf_counter() - t0:.1f}s, "
+              f"{len(qpack['kq'])} sites", flush=True)
+
+        b2 = {k: v for k, v in batch.items()
+              if k not in ("input_CT", "mask_CT")}
+
+        @jax.jit
+        def int8_step(state, b2, qpack, x):
+            feat = run_trunk_int8(cfg, qpack, x, dtype=qdt)
+            return estep(state, dict(b2, ct_features=feat))["loss"]
+
+        measure(lambda: int8_step(state, b2, qpack, ct_in), "int8-eval")
     if ns.train:
         rng = jax.random.PRNGKey(1)
         tstep = make_train_step(cfg, donate=False)

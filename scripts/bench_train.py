@@ -76,7 +76,8 @@ def main(argv=None):
     print(f"init... CT {batch['input_CT'].shape} bag "
           f"{batch['input_pathology'].shape}", flush=True)
     t0 = time.perf_counter()
-    state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, batch, jax.random.PRNGKey(0),
+                               jit_init=True)   # 402 s eager → cached jit
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"init {time.perf_counter() - t0:.1f}s, params {n_params / 1e6:.1f}M",
           flush=True)
