@@ -172,8 +172,13 @@ def make_train_step(cfg: Config, donate: bool = True, mesh=None,
                    compiler_options=copts)
 
 
-def make_eval_step(cfg: Config):
-    """no-grad mirror of the train step (train_ddp.py:382-513)."""
+def make_eval_step(cfg: Config, jit: bool = True):
+    """no-grad mirror of the train step (train_ddp.py:382-513).
+
+    ``jit=False`` returns the raw python step for composition INSIDE an
+    outer ``jax.jit`` (e.g. the int8-serving wrappers): the jitted form
+    carries ``cfg.xla_options`` as compiler_options, which jax only
+    accepts on a TOP-LEVEL jit — nesting it raises."""
 
     def step(state: TrainState, batch: Dict):
         variables = {"params": state.params}
@@ -190,5 +195,7 @@ def make_eval_step(cfg: Config):
         metrics["probs"] = out["probs"]
         return metrics
 
+    if not jit:
+        return step
     from ..utils import compiler_options_from_cfg
     return jax.jit(step, compiler_options=compiler_options_from_cfg(cfg))

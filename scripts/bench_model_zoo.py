@@ -161,11 +161,15 @@ def main(argv=None):
 
         b2 = {k: v for k, v in batch.items()
               if k not in ("input_CT", "mask_CT")}
+        import functools
+        from llmmil_tpu.utils import compiler_options_from_cfg
+        estep_raw = make_eval_step(cfg, jit=False)
 
-        @jax.jit
+        @functools.partial(jax.jit,
+                           compiler_options=compiler_options_from_cfg(cfg))
         def int8_step(state, b2, qpack, x):
             feat = run_trunk_int8(cfg, qpack, x, dtype=qdt)
-            return estep(state, dict(b2, ct_features=feat))["loss"]
+            return estep_raw(state, dict(b2, ct_features=feat))["loss"]
 
         measure(lambda: int8_step(state, b2, qpack, ct_in), "int8-eval")
     if ns.train:

@@ -12,6 +12,7 @@ Usage: python scripts/bench_train.py [--batch 1] [--bag 15616] [--depth 160]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -96,9 +97,11 @@ def main(argv=None):
         qpack = quantize_ct_trunk(cfg, variables, scales, dtype=qdt)
         print(f"int8 calib+quant {time.perf_counter() - t0:.1f}s, "
               f"{len(qpack['kq'])} sites", flush=True)
-        estep = make_eval_step(cfg)
+        estep = make_eval_step(cfg, jit=False)   # composed in a top jit
+        from llmmil_tpu.utils import compiler_options_from_cfg
 
-        @jax.jit
+        @functools.partial(jax.jit,
+                           compiler_options=compiler_options_from_cfg(cfg))
         def int8_step(state, batch, qpack):
             feat = run_trunk_int8(cfg, qpack, batch["input_CT"], dtype=qdt)
             b2 = {k: v for k, v in batch.items() if k != "input_CT"}

@@ -75,7 +75,11 @@ def main(argv=None):
                  loss="BCE+textCosSim", spacing=[0.6869, 0.6869, 3.0],
                  ct_shape=[ns.depth, ns.hw, ns.hw], ct_hw_override=ns.hw,
                  compute_dtype="bfloat16", learnablePrompt=1, n_ctx=8,
-                 ct_remat=ns.remat, batch_size=ns.batch)
+                 ct_remat=ns.remat, batch_size=ns.batch,
+                 # the sweep's points ARE the compiler options — zero the
+                 # config default so lower().compile(compiler_options=...)
+                 # is the only source (a jit-level option would conflict)
+                 xla_options=[])
     model = build_model(cfg)
     rs = np.random.RandomState(0)
     b = ns.batch
