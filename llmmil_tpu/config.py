@@ -290,6 +290,13 @@ class Config:
     # hybrid stays in-tree, parity-tested, as the recorded negative
     # result.
     ct_fwd_lowering: str = "fold"
+    # Blocks per MC3 stage (debug/dryrun knob): [] = the torchvision
+    # mc3_18 layout (2,2,2,2).  A reduced layout (e.g. [1,1,1,1]) keeps
+    # every stage/sharding/lowering type while halving the compiled graph
+    # — used by __graft_entry__'s multi-chip dry run to stay inside the
+    # driver's time budget on a 1-core host.  Weight-port parity requires
+    # the default.
+    ct_layers: List[int] = field(default_factory=list)
     ct_shape: List[int] = field(default_factory=lambda: [160, 512, 512])
     # Decoded-CT cache (beyond reference): "" = off; a directory path
     # stores each patient's packed volume (post gzip-decode + HU-normalise

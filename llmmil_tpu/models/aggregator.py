@@ -60,6 +60,8 @@ def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
     """CT-extractor factory (aggregator.py:17-34 dispatch)."""
     kw = {} if name is None else {"name": name}
     if cfg.model_CT in ("resnetMC3_18", "resnetMC3_18_wMask"):
+        if cfg.ct_layers:
+            kw["layers"] = tuple(cfg.ct_layers)
         return ResnetMC3_18(spacing_xy=cfg.spacing[0], remat=cfg.ct_remat,
                             temporal_mode=cfg.ct_temporal_mode,
                             conv_backend=cfg.ct_conv_backend,

@@ -419,6 +419,9 @@ class ResnetMC3_18(nn.Module):
     spacing_xy: float = 0.6869
     remat: str | bool = True
     dtype: jnp.dtype = jnp.float32
+    # blocks per stage; the mc3_18 default — reduced layouts are a
+    # debug/dryrun knob (Config.ct_layers), not a reference shape
+    layers: Sequence[int] = (2, 2, 2, 2)
     temporal_mode: str = "conv3d"
     shard_axis: str | None = None
     bn_axes: tuple | None = None
@@ -447,6 +450,7 @@ class ResnetMC3_18(nn.Module):
                                  shard_axis=self.shard_axis,
                                  name="downsampling")(x)
         return VideoResNetFeatures(
+            layers=self.layers,
             remat=self.remat, dtype=self.dtype,
             temporal_mode=self.temporal_mode, shard_axis=self.shard_axis,
             bn_axes=self.bn_axes, conv_backend=self.conv_backend,

@@ -312,3 +312,29 @@ def test_simple_fcs_shapes():
         x = jnp.ones((2, in_dim))
         params = mod.init(rng, x)
         assert mod.apply(params, x).shape == (2, 512)
+
+
+# ---------------------------------------------------------------------------
+# ct_layers (debug/dryrun trunk-depth knob)
+# ---------------------------------------------------------------------------
+
+def test_ct_layers_knob_reduces_trunk():
+    """Config.ct_layers trims blocks per MC3 stage (dryrun graph-size knob);
+    [] keeps the torchvision mc3_18 layout (2 blocks/stage)."""
+    from llmmil_tpu.models.aggregator import make_ct_extractor
+
+    x = jnp.ones((1, 4, 16, 16, 1))
+    base = dict(model_CT="resnetMC3_18", spacing=[2.0, 2.0, 2.5],
+                ct_remat="none")
+
+    small = make_ct_extractor(Config(**base, ct_layers=[1, 1, 1, 1]),
+                              jnp.float32)
+    v = small.init(jax.random.PRNGKey(0), x, train=False)
+    trunk = v["params"]["trunk"]
+    assert "layer1_0" in trunk and "layer1_1" not in trunk
+    assert small.apply(v, x, train=False).shape[-1] == 512
+
+    full = make_ct_extractor(Config(**base), jnp.float32)
+    vf = jax.eval_shape(lambda r: full.init(r, x, train=False),
+                        jax.random.PRNGKey(0))
+    assert "layer1_1" in vf["params"]["trunk"]     # default layout intact
