@@ -64,8 +64,18 @@ class InferenceServer:
                  port: int = 0, warmup: bool = True):
         self.model = model
         self._lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "errors": 0}
         self._warmup = warmup
+        # Largest request a signature can legitimately need: npz of the
+        # biggest entry's arrays (compressed archives are smaller). 4x
+        # covers archive framing; anything beyond is a hostile/broken
+        # client that would otherwise let one request exhaust host RAM.
+        sig_bytes = max(
+            (sum(int(np.prod(shape)) * np.dtype(dtype).itemsize
+                 for shape, dtype in sig.values())
+             for sig in model.signatures.values()), default=0)
+        self._max_body = max(1 << 20, 4 * sig_bytes)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -95,9 +105,16 @@ class InferenceServer:
                 if self.path != "/predict":
                     self._json(404, {"error": f"no route {self.path}"})
                     return
-                outer.stats["requests"] += 1
+                with outer._stats_lock:
+                    outer.stats["requests"] += 1
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                    if n > outer._max_body:
+                        self._json(413, {
+                            "error": f"body {n} bytes exceeds the largest "
+                                     f"exported signature "
+                                     f"({outer._max_body} byte cap)"})
+                        return
                     with np.load(io.BytesIO(self.rfile.read(n)),
                                  allow_pickle=False) as arrs:
                         batch = {k: arrs[k] for k in arrs.files}
@@ -113,10 +130,12 @@ class InferenceServer:
                     self._json(200, {"probs": probs.tolist(),
                                      "device_ms": round(ms, 3)})
                 except (KeyError, ValueError) as e:   # client-fixable
-                    outer.stats["errors"] += 1
+                    with outer._stats_lock:
+                        outer.stats["errors"] += 1
                     self._json(400, {"error": str(e)})
                 except Exception as e:                # noqa: BLE001
-                    outer.stats["errors"] += 1
+                    with outer._stats_lock:
+                        outer.stats["errors"] += 1
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)

@@ -59,6 +59,13 @@ def mask_centroids(m: jnp.ndarray) -> jnp.ndarray:
 def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
     """CT-extractor factory (aggregator.py:17-34 dispatch)."""
     kw = {} if name is None else {"name": name}
+    if cfg.ct_layers and cfg.model_CT not in ("resnetMC3_18",
+                                              "resnetMC3_18_wMask"):
+        # loud rejection: ct_layers only shapes the MC3 stages — silently
+        # ignoring it for other trunks would mislead dryrun/debug users
+        raise ValueError(
+            f"ct_layers={cfg.ct_layers} is only honored by "
+            f"resnetMC3_18/_wMask, not model_CT={cfg.model_CT!r}")
     if cfg.model_CT in ("resnetMC3_18", "resnetMC3_18_wMask"):
         if cfg.ct_layers:
             kw["layers"] = tuple(cfg.ct_layers)

@@ -51,6 +51,12 @@ def main(argv=None):
     print(f"serving {args.artifact} on http://{args.host}:{srv.port}\n"
           f"signatures:\n  {sigs}", flush=True)
 
+    # POSIX requires the waited-for signals to be blocked before sigwait —
+    # otherwise CPython's default SIGINT handler races the C sigwait loop
+    # (Ctrl-C can hang) and SIGTERM keeps its terminate-now disposition,
+    # skipping srv.stop().
+    signal.pthread_sigmask(signal.SIG_BLOCK,
+                           {signal.SIGINT, signal.SIGTERM})
     stop = signal.sigwait([signal.SIGINT, signal.SIGTERM])
     print(f"signal {stop}: shutting down", flush=True)
     srv.stop()

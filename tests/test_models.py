@@ -338,3 +338,16 @@ def test_ct_layers_knob_reduces_trunk():
     vf = jax.eval_shape(lambda r: full.init(r, x, train=False),
                         jax.random.PRNGKey(0))
     assert "layer1_1" in vf["params"]["trunk"]     # default layout intact
+
+
+def test_ct_layers_rejected_for_non_mc3_trunks():
+    """ct_layers only shapes the MC3 stages; every other trunk rejects it
+    loudly instead of silently ignoring it (ADVICE r3)."""
+    from llmmil_tpu.models.aggregator import make_ct_extractor
+    import pytest
+
+    for model_ct in ("medicalNet", "resnet2plus1d_18", "SwinUNETR",
+                     "MViT"):
+        with pytest.raises(ValueError, match="ct_layers"):
+            make_ct_extractor(Config(model_CT=model_ct,
+                                     ct_layers=[1, 1, 1, 1]), jnp.float32)

@@ -105,6 +105,19 @@ def test_serve_predict_matches_direct_call():
         except urllib.error.HTTPError as e:
             assert e.code == 404
 
+        # oversized Content-Length -> 413 before the body is read
+        req = urllib.request.Request(
+            f"{base}/predict", data=b"x",
+            headers={"Content-Length": str(srv._max_body + 1)})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("oversized body not rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+            assert "cap" in json.load(e)["error"]
+        except urllib.error.URLError:
+            pass  # server may drop the connection on the length mismatch
+
         code, out = _post(f"{base}/predict", ex16)   # still serving
         assert code == 200
         with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
