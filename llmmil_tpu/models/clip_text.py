@@ -38,9 +38,13 @@ class CLIPTextConfig:
 
 
 class _CausalSelfAttention(nn.Module):
+    """Self-attention with the CLIP in_proj/out_proj parameter layout.
+    ``causal=False`` drops the mask (full attention) for the vision tower
+    (clip/model.py:324-330: the causal mask is text-only)."""
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    causal: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -55,24 +59,28 @@ class _CausalSelfAttention(nn.Module):
         q, k, v = split(q), split(k), split(v)
         attn = (q @ jnp.swapaxes(k, -1, -2)) / jnp.sqrt(
             jnp.asarray(dh, q.dtype))
-        causal = jnp.tril(jnp.ones((n, n), dtype=bool))
-        attn = masked_softmax(attn, causal[None, None], axis=-1)
+        if self.causal:
+            causal = jnp.tril(jnp.ones((n, n), dtype=bool))
+            attn = masked_softmax(attn, causal[None, None], axis=-1)
+        else:
+            attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.swapaxes(attn @ v, 1, 2).reshape(b, n, self.width)
         return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
 
 
 class ResidualAttentionBlock(nn.Module):
-    """ln_1 → causal MHA → +x; ln_2 → 4× MLP with QuickGELU → +x
-    (clip/model.py:167-189)."""
+    """ln_1 → MHA (causal for text) → +x; ln_2 → 4× MLP with QuickGELU →
+    +x (clip/model.py:167-189)."""
     width: int = 512
     heads: int = 8
     dtype: jnp.dtype = jnp.float32
+    causal: bool = True
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(name="ln_1", dtype=jnp.float32)(x)
         x = x + _CausalSelfAttention(self.width, self.heads, self.dtype,
-                                     name="attn")(y)
+                                     self.causal, name="attn")(y)
         y = nn.LayerNorm(name="ln_2", dtype=jnp.float32)(x)
         y = nn.Dense(4 * self.width, dtype=self.dtype, name="c_fc")(y)
         y = quick_gelu(y)
