@@ -63,6 +63,29 @@ class Config:
         default_factory=lambda: list(DEFAULT_CLINICAL_FEATURES))
     pathology_info_version: str = "v1"
 
+    # ---- image-only WSI patch pipeline (BASELINE config #2; beyond the
+    # reference, which only consumes precomputed CTransPath features,
+    # dataset.py:367, and loads-but-never-runs the CLIP vision tower) ----
+    # 'features' = precomputed bags from path_data_pathology (reference
+    # behavior); 'wsi' = tile raw slide images under path_data_wsi, encode
+    # with the CLIP ViT patch encoder (data/wsi.py), cache the bags.
+    pathology_source: str = "features"
+    path_data_wsi: str = "data/WSI"
+    wsi_tile: int = 224            # tile size on the slide (px)
+    wsi_stride: int = 0            # 0 → non-overlapping (= wsi_tile)
+    wsi_px: int = 224              # encoder input resolution
+    wsi_encode_batch: int = 256    # tiles per device batch (fixed shape)
+    wsi_min_foreground: float = 0.0  # drop tiles below this tissue frac
+    wsi_cache_dir: str = ""        # encoded-bag cache ("" = no cache)
+    # torch CLIP checkpoint for the patch encoder's vision weights; ""
+    # falls back to seeded random ViT weights (synthetic pipelines only,
+    # loud warning) with the wsi_vit_* sizes below (ViT-B/32 defaults)
+    patch_encoder_ckpt: str = ""
+    wsi_patch: int = 32
+    wsi_vit_width: int = 768
+    wsi_vit_layers: int = 12
+    wsi_embed_dim: int = 512
+
     # ---- modality / model selection (config.py:54-61) ----
     modality: List[str] = field(default_factory=lambda: ["CT", "pathology"])
     alignment_base: str = "none"       # CT | pathology | CI | none

@@ -194,7 +194,9 @@ class MultimodalDataset:
         cfg = self.cfg
         kind = row["pathologyimage"]
         key = ("pathology", row["hospital"], row["patientid"])
-        if self.feature_store and key in self.feature_store:
+        if cfg.pathology_source == "wsi":
+            feat = self._load_wsi_bag(row, kind)
+        elif self.feature_store and key in self.feature_store:
             feat = np.asarray(self.feature_store[key], dtype=np.float32)
         else:
             p = (f"{cfg.path_data_pathology}/{row['hospital']}/"
@@ -202,6 +204,58 @@ class MultimodalDataset:
             feat = np.load(p).astype(np.float32)
         if self.mode == "train" and cfg.augmentation:
             feat = instance_dropout(feat, kind, rng)
+        return feat
+
+    # ---- image-only WSI path (BASELINE config #2; data/wsi.py) ----------
+    def _wsi_cache_path(self, row, kind) -> str:
+        cfg = self.cfg
+        if not cfg.wsi_cache_dir:
+            return ""
+        stride = cfg.wsi_stride or cfg.wsi_tile
+        return os.path.join(
+            cfg.wsi_cache_dir, row["hospital"], kind,
+            f"{row['patientid']}_t{cfg.wsi_tile}s{stride}"
+            f"p{cfg.wsi_px}f{cfg.wsi_min_foreground}.npy")
+
+    def _wsi_encoder(self):
+        """Lazy per-dataset patch encoder (jit-compiled once; the lock in
+        PatchEncoder serializes device calls across loader threads)."""
+        enc = getattr(self, "_patch_encoder", None)
+        if enc is None:
+            from .wsi import PatchEncoder
+            enc = self._patch_encoder = PatchEncoder.from_config(self.cfg)
+        return enc
+
+    def _load_wsi_bag(self, row, kind) -> np.ndarray:
+        """Tile + CLIP-encode one slide into an (N, embed) bag, with an
+        encoded-bag cache keyed on the tiling parameters (the WSI analog
+        of the decoded-CT cache).  Production flow: precompute every bag
+        with scripts/encode_wsi.py, then train with
+        pathology_source='features' on its output."""
+        cfg = self.cfg
+        cache = self._wsi_cache_path(row, kind)
+        if cache and os.path.exists(cache):
+            return np.load(cache).astype(np.float32)
+        skey = ("wsi", row["hospital"], row["patientid"])
+        if self.feature_store and skey in self.feature_store:
+            img = np.asarray(self.feature_store[skey])
+        else:
+            from .wsi import read_slide
+            base = (f"{cfg.path_data_wsi}/{row['hospital']}/{kind}/"
+                    f"{row['patientid']}")
+            for ext in (".npy", ".png", ".jpg", ".jpeg", ".tif", ".tiff"):
+                if os.path.exists(base + ext):
+                    img = read_slide(base + ext)
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"no slide image under {base}.* "
+                    f"(pathology_source='wsi')")
+        feat, _pos = self._wsi_encoder().encode(
+            img, tile=cfg.wsi_tile, stride=cfg.wsi_stride or None,
+            min_foreground=cfg.wsi_min_foreground)
+        if cache:
+            self._ct_cache_write(cache, feat)    # same atomic .npy write
         return feat
 
     def _load_ci(self, row) -> np.ndarray:
@@ -266,7 +320,8 @@ class SyntheticCohort:
     label-correlated CTransPath-like bags."""
 
     def __init__(self, cfg: Config, n_per_hospital: int = 8,
-                 ct_shape=(16, 64, 64), bag_range=(80, 300), seed: int = 0):
+                 ct_shape=(16, 64, 64), bag_range=(80, 300), seed: int = 0,
+                 wsi_shape=None):
         rs = np.random.RandomState(seed)
         rows: List[Dict] = []
         store: Dict = {}
@@ -301,6 +356,13 @@ class SyntheticCohort:
                 vol = rs.rand(*ct_shape).astype(np.float32) * 0.2 \
                     + label * 0.1
                 store[("CT", hosp, patient)] = vol
+                if wsi_shape is not None:
+                    # label-tinted uint8 RGB "slide" for the image-only
+                    # WSI pipeline (pathology_source='wsi')
+                    img = rs.randint(0, 200, tuple(wsi_shape) + (3,))
+                    img[..., 0] = np.clip(img[..., 0] + label * 40,
+                                          0, 255)
+                    store[("wsi", hosp, patient)] = img.astype(np.uint8)
         self.df = pd.DataFrame(rows)
         self.store = store
 

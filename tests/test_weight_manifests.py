@@ -172,3 +172,62 @@ def test_clip_text_manifest_consumed_and_tree_exact():
     p2 = convert_torch_clip_state_dict(sd2)
     np.testing.assert_array_equal(
         p2["resblock_0"]["attn"]["in_proj"]["kernel"], w.T)
+
+
+def clip_vitb32_vision_manifest():
+    """Vision-side key/shape table of the OpenAI ViT-B/32 checkpoint
+    (clip/model.py:202-236: patch 32, width 768, 12 layers, grid 7,
+    50-token positional table, 512-d projection)."""
+    m = {"visual.class_embedding": (768,),
+         "visual.positional_embedding": (50, 768),
+         "visual.proj": (768, 512),
+         "visual.conv1.weight": (768, 3, 32, 32),
+         "visual.ln_pre.weight": (768,), "visual.ln_pre.bias": (768,),
+         "visual.ln_post.weight": (768,), "visual.ln_post.bias": (768,)}
+    for i in range(12):
+        pre = f"visual.transformer.resblocks.{i}."
+        m.update({pre + "attn.in_proj_weight": (2304, 768),
+                  pre + "attn.in_proj_bias": (2304,),
+                  pre + "attn.out_proj.weight": (768, 768),
+                  pre + "attn.out_proj.bias": (768,),
+                  pre + "ln_1.weight": (768,), pre + "ln_1.bias": (768,),
+                  pre + "mlp.c_fc.weight": (3072, 768),
+                  pre + "mlp.c_fc.bias": (3072,),
+                  pre + "mlp.c_proj.weight": (768, 3072),
+                  pre + "mlp.c_proj.bias": (768,),
+                  pre + "ln_2.weight": (768,), pre + "ln_2.bias": (768,)})
+    return m
+
+
+def test_clip_vision_manifest_consumed_and_tree_exact():
+    from llmmil_tpu.models.clip_vision import (
+        CLIPVisionConfig, CLIPVisionTransformer, infer_clip_arch,
+        convert_torch_clip_vision_state_dict)
+
+    manifest = clip_vitb32_vision_manifest()
+    assert len(manifest) == 8 + 12 * 12
+    # arch inference works off the combined checkpoint's key space
+    vis_cfg, txt_cfg = infer_clip_arch(
+        {**manifest, **clip_vitb32_text_manifest()})
+    assert vis_cfg == CLIPVisionConfig()
+    assert txt_cfg == CLIPTextConfig()
+
+    sd = _zeros_sd(manifest)
+    params = convert_torch_clip_vision_state_dict(sd, vis_cfg)
+    missed = set(manifest) - sd.read
+    assert not missed, f"manifest keys never consumed: {sorted(missed)}"
+    assert not (sd.read - set(manifest))
+
+    model = CLIPVisionTransformer(vis_cfg)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 224, 224, 3), jnp.float32))
+    assert _shape_tree(params) == _shape_tree(shapes["params"])
+
+    # conv layout: torch OIHW → flax HWIO
+    sd2 = {k: np.zeros(s, np.float32) for k, s in manifest.items()}
+    w = np.arange(768 * 3 * 32 * 32, dtype=np.float32) \
+        .reshape(768, 3, 32, 32)
+    sd2["visual.conv1.weight"] = w
+    p2 = convert_torch_clip_vision_state_dict(sd2, vis_cfg)
+    np.testing.assert_array_equal(p2["conv1"]["kernel"],
+                                  w.transpose(2, 3, 1, 0))
