@@ -12,7 +12,12 @@ aggregation, classifier head — on CTransPath-sized bags.
   path is the comparable reference number — BASELINE.json's north-star is
   phrased against the same "reference CPU path").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
+baseline provenance keys ("baseline_threads"=1 pinned,
+"baseline_bags_per_sec", "baseline_allcore_bags_per_sec", "nproc") that
+make vs_baseline comparable across bench hosts (BENCH_NOTES "baseline
+autopsy": the unpinned r1–r3 baseline swung 52× with the host's core
+count).
 """
 
 from __future__ import annotations
@@ -116,8 +121,16 @@ def tpu_bags_per_sec() -> float:
     return float(np.median(thr))
 
 
-def torch_cpu_bags_per_sec(max_seconds: float = 20.0) -> float:
-    """Reference-architecture torch CPU baseline, batch-1 eval loop."""
+def torch_cpu_bags_per_sec(max_seconds: float = 20.0,
+                           threads: int = 1) -> float:
+    """Reference-architecture torch CPU baseline, batch-1 eval loop.
+
+    ``threads`` is PINNED (r1–r3 lesson, BENCH_NOTES "baseline autopsy":
+    the unpinned baseline inherited whatever core count the bench host
+    had that round and swung 52× — 40.2 → 1045.8 → 2102.1 bags/s for the
+    identical workload — making vs_baseline meaningless across rounds).
+    threads=1 is the host-independent anchor; the all-core number is
+    reported alongside for context."""
     import torch
     import torch.nn as nn
 
@@ -193,7 +206,7 @@ def torch_cpu_bags_per_sec(max_seconds: float = 20.0) -> float:
                                       * torch.sigmoid(self.au(x))).T, 1)
             return torch.sigmoid(self.head(a @ x))
 
-    torch.set_num_threads(torch.get_num_threads())
+    torch.set_num_threads(max(int(threads), 1))
     model = PathologyMIL().eval()
     rs = np.random.RandomState(0)
     bag = torch.tensor(rs.randn(1, BAG_N, FEAT), dtype=torch.float32)
@@ -213,13 +226,25 @@ def torch_cpu_bags_per_sec(max_seconds: float = 20.0) -> float:
 
 
 def main():
-    baseline = torch_cpu_bags_per_sec()
+    import os
+    nproc = os.cpu_count() or 1
+    # host-independent anchor: single pinned torch thread (reproducible
+    # across bench hosts to within core-speed variation, ~2x)
+    base_1t = torch_cpu_bags_per_sec(threads=1)
+    base_all = (torch_cpu_bags_per_sec(threads=nproc) if nproc > 1
+                else base_1t)
+    _log(f"baseline: {base_1t:.2f} bags/s @1 thread, "
+         f"{base_all:.2f} @ {nproc} threads")
     value = tpu_bags_per_sec()
     print(json.dumps({
         "metric": "pathology_mil_inference_throughput",
         "value": round(value, 2),
         "unit": "bags/s",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(value / base_1t, 2),
+        "baseline_threads": 1,
+        "baseline_bags_per_sec": round(base_1t, 3),
+        "baseline_allcore_bags_per_sec": round(base_all, 3),
+        "nproc": nproc,
     }))
 
 
