@@ -320,6 +320,14 @@ class Config:
     # driver's time budget on a 1-core host.  Weight-port parity requires
     # the default.
     ct_layers: List[int] = field(default_factory=list)
+    # TwoWayTransformer block depth (debug/dryrun knob like ct_layers):
+    # 0 = the reference's depth 2 (aggregator.py:36-42, parity default).
+    twoway_depth: int = 0
+    # Moore-Penrose pinv iterations in the TransMIL Nyström blocks
+    # (debug/dryrun knob like ct_layers): 6 = the reference default
+    # (TransMIL.py:19, parity requires it); fewer iterations shrink the
+    # unrolled compiled graph for the multi-chip dry run.
+    nystrom_pinv_iters: int = 6
     ct_shape: List[int] = field(default_factory=lambda: [160, 512, 512])
     # Decoded-CT cache (beyond reference): "" = off; a directory path
     # stores each patient's packed volume (post gzip-decode + HU-normalise

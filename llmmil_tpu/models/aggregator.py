@@ -158,6 +158,7 @@ class Aggregator(nn.Module):
             from .moe import spec_from_config
             return TransMIL(n_classes=c.num_classes, L=EMBED_DIM,
                             dtype=self.dtype, moe=spec_from_config(c),
+                            pinv_iterations=c.nystrom_pinv_iters,
                             name=name)
         if kind == "TransMIL_per_modality":
             from .transmil_per_modality import TransMILPerModality
@@ -253,7 +254,8 @@ class Aggregator(nn.Module):
 
         def twoway(name):
             return TwoWayTransformer(
-                depth=2, embedding_dim=EMBED_DIM, num_heads=8, mlp_dim=2048,
+                depth=c.twoway_depth or 2, embedding_dim=EMBED_DIM,
+                num_heads=8, mlp_dim=2048,
                 ct_reduce=ct_reduce, dtype=dt, name=name)
 
         def pe_for(tokens):
@@ -325,8 +327,10 @@ class Aggregator(nn.Module):
                 outputs["emb_CI2Pth"] = x_ci2pth
             if c.aggregator == "TransMIL_seperate":
                 agg_ct = TransMIL(c.num_classes, L=EMBED_DIM, dtype=dt,
+                                  pinv_iterations=c.nystrom_pinv_iters,
                                   name="aggregator_CT")
                 agg_pth = TransMIL(c.num_classes, L=EMBED_DIM, dtype=dt,
+                                   pinv_iterations=c.nystrom_pinv_iters,
                                    name="aggregator_Pth")
                 x_ci2ct = agg_ct(x_ci2ct, mask=ci2ct_mask,
                                  train=train)[0][:, None]

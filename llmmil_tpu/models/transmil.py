@@ -122,13 +122,18 @@ class TransLayer(nn.Module):
     dim: int = 512
     dtype: jnp.dtype = jnp.float32
     moe: "Optional[MoESpec]" = None
+    # reference default 6 (TransMIL.py:19); a debug/dryrun knob like
+    # Config.ct_layers — fewer unrolled pinv iterations shrink the
+    # compiled graph, parity requires 6
+    pinv_iterations: int = 6
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False,
                  return_attn: bool = False):
         y, attn = NystromSelfAttention(
             dim=self.dim, heads=8, dim_head=self.dim // 8,
-            num_landmarks=self.dim // 2, pinv_iterations=6,
+            num_landmarks=self.dim // 2,
+            pinv_iterations=self.pinv_iterations,
             residual=True, dropout=0.1, dtype=self.dtype,
             name="attn")(nn.LayerNorm(name="norm")(x), mask, train,
                          return_attn)
@@ -182,6 +187,7 @@ class TransMIL(nn.Module):
     D: int = 512
     dtype: jnp.dtype = jnp.float32
     moe: "Optional[MoESpec]" = None
+    pinv_iterations: int = 6       # see TransLayer (dryrun knob)
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False,
@@ -204,9 +210,11 @@ class TransMIL(nn.Module):
             mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
 
         h, attn0 = TransLayer(self.D, self.dtype, moe=self.moe,
+                              pinv_iterations=self.pinv_iterations,
                               name="layer1")(h, mask, train, return_attn)
         h = PPEG(self.D, self.dtype, name="pos_layer")(h, side, side, mask)
         h, attn1 = TransLayer(self.D, self.dtype, moe=self.moe,
+                              pinv_iterations=self.pinv_iterations,
                               name="layer2")(h, mask, train, return_attn)
 
         h = nn.LayerNorm(name="norm")(h)[:, 0]
