@@ -323,4 +323,5 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     return {"auc": auc, "acc": acc, "precision": float(prec),
             "recall": float(rec), "threshold": thres,
             "youden_threshold": youden, "per_sample_time": t_mean,
+            "patients_per_sec": (1.0 / t_mean) if t_mean > 0 else 0.0,
             "table": df, "csv": csv_path}

@@ -36,6 +36,11 @@ def main(argv=None):
     parser.add_argument("--ct_int8", type=int, default=0,
                         help="post-training int8 CT trunk, calibrated on "
                              "the first N volumes (eval/quant.py)")
+    parser.add_argument("--eval_batch", type=int, default=1,
+                        help="patients per device batch (beyond reference"
+                             " — test_ddp.py:73 forces 1; probs are "
+                             "batch-invariant, throughput is reported "
+                             "as patients/s)")
     ns = parser.parse_args(argv)
 
     import jax
@@ -59,7 +64,7 @@ def main(argv=None):
         ds = syn.dataset(cfg, mode)
     else:
         ds = MultimodalDataset(cfg, mode)
-    loader = BatchLoader(ds, max(cfg.batch_size, 1), shuffle=False,
+    loader = BatchLoader(ds, max(ns.eval_batch, 1), shuffle=False,
                          num_workers=cfg.num_workers)
 
     ckpt = None
@@ -81,7 +86,9 @@ def main(argv=None):
     print(f"AUC {res['auc']:.4f}  ACC {res['acc']:.4f}  "
           f"prec {res['precision']:.4f}  rec {res['recall']:.4f}  "
           f"thr {res['threshold']:.4f}  "
-          f"{res['per_sample_time'] * 1e3:.1f} ms/batch")
+          f"{res['per_sample_time'] * 1e3:.1f} ms/patient  "
+          f"{res['patients_per_sec']:.2f} patients/s "
+          f"(batch {max(ns.eval_batch, 1)})")
     return res
 
 
