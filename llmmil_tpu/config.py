@@ -111,8 +111,10 @@ class Config:
     swin_crop: List[int] = field(default_factory=list)
     # encode Swin crops this many at a time (nn.scan loop; peak activation
     # memory = one chunk) — 0 batches all crops at once, which OOMs a
-    # 16 GB chip at the reference's 100x96^3 load (BENCH_NOTES r3)
-    swin_crop_chunk: int = 25
+    # 16 GB chip at the reference's 100x96^3 load (BENCH_NOTES r3).
+    # -1 = auto (resolve_memory_config): 10 when TRAINING a SwinUNETR
+    # trunk (the 100-crop grad OOMs at 25 — zoo6 table), 25 otherwise.
+    swin_crop_chunk: int = -1
     # MViT chunk encoder: 'v2_s' = MViT-v2-S multiscale architecture (the
     # reference's torchvision mvit_v2_s, mvit_v2.py:15); 'compact' = small
     # plain ViT.  mvit_depths=[] → the v2_s stage depths (1,2,11,2).
@@ -161,6 +163,12 @@ class Config:
     val_iter_per_epoch: int = 50
     batch_size: int = 8
     num_workers: int = 4
+    # loader worker pool (data/pipeline.py): 'thread' (default — the hot
+    # decode/pack stages release the GIL) or 'process' (spawn workers +
+    # shared-memory array transport; scales the GIL-holding pure-python
+    # DICOM/NRRD parse and BPE stages across cores).  Batches are
+    # identical either way (tests/test_pool_loader.py).
+    loader_pool: str = "thread"
     save_best: bool = False
     cos: bool = False
 
@@ -279,14 +287,15 @@ class Config:
     # einsums and places the all-to-alls on ICI.  Matches the replicated
     # step to float tolerance (tests/test_moe.py).  Empty = off.
     ep_axis: str = ""
-    # CT-trunk rematerialisation: 'all' | 'early' (stages 1-2) | 'layer2'
-    # (stage 2 only) | 'none'.  Measured at full size on v5e with the dfold
-    # temporal lowering (BENCH_NOTES r2): train step 384 ms 'early' /
-    # 346 ms 'layer2' / 337 ms 'none' at batch 1; 'layer2' is the default
-    # trade: layer1's recompute is the expensive one (store its activations
-    # instead), while rematting the cheap-to-recompute layer2 keeps memory
-    # headroom for batch>1.
-    ct_remat: str = "layer2"
+    # CT-trunk rematerialisation: 'auto' | 'all' | 'early' (stages 1-2) |
+    # 'layer2' (stage 2 only) | 'none'.  Measured at full size on v5e with
+    # the dfold temporal lowering (BENCH_NOTES r2): train step 384 ms
+    # 'early' / 346 ms 'layer2' / 337 ms 'none' at batch 1 — but batch≥2
+    # COMPILE-OOMS at 'layer2' and needs 'early' (zoo6 batch table,
+    # BENCH_NOTES r3).  'auto' (default) applies that table per run:
+    # training at batch≥2 → 'early' (loud log), else 'layer2'
+    # (resolve_memory_config); explicit values are always honored.
+    ct_remat: str = "auto"
     # Temporal (kD>1) conv lowering in the CT trunk: 'conv3d' keeps XLA's
     # native 3-D convolution; 'dfold' / 'dsum' / 'dshift' compute the identical op as
     # depth-folded 2-D convs (models/ct_mc3.py::DepthFoldedConv) to ride
@@ -403,6 +412,31 @@ class Config:
     def from_dict(cls, d: dict) -> "Config":
         names = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in names})
+
+
+def resolve_memory_config(cfg: Config, training: bool) -> Config:
+    """Resolve the 'auto' memory knobs from the measured zoo6 table
+    (BENCH_NOTES r3): the reference trains any batch without per-config
+    surgery (train_ddp.py:75-76); here the settings that fit 16 GB are
+    batch/model-dependent, so the drivers pick the working ones and say
+    so loudly.  Explicit (non-auto) values pass through untouched."""
+    kw = {}
+    if cfg.ct_remat == "auto":
+        remat = "early" if (training and cfg.batch_size >= 2) else "layer2"
+        kw["ct_remat"] = remat
+        if remat == "early":
+            print(f"[memory] ct_remat=auto -> 'early' (batch_size="
+                  f"{cfg.batch_size} >= 2 compile-OOMs at 'layer2' on a "
+                  f"16 GB chip — zoo6 table, BENCH_NOTES r3)", flush=True)
+    if cfg.swin_crop_chunk < 0:
+        swin = "SwinUNETR" in cfg.model_CT
+        chunk = 10 if (training and swin) else 25
+        kw["swin_crop_chunk"] = chunk
+        if training and swin:
+            print("[memory] swin_crop_chunk=auto -> 10 (training the "
+                  "100-crop SwinUNETR trunk OOMs at 25 — zoo6 table, "
+                  "BENCH_NOTES r3)", flush=True)
+    return cfg.replace(**kw) if kw else cfg
 
 
 def create_arg_parser() -> argparse.ArgumentParser:

@@ -68,6 +68,15 @@ class MultimodalDataset:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def __getstate__(self):
+        """Process-pool pickling (BatchLoader(pool='process')): drop the
+        lazily-built unpicklable members — the BPE tokenizer and the
+        jitted WSI patch encoder rebuild themselves in each worker."""
+        d = self.__dict__.copy()
+        d["_tokenizer"] = None
+        d.pop("_patch_encoder", None)
+        return d
+
     def _sample_rng(self, idx: int) -> np.random.RandomState:
         return np.random.RandomState(
             (self.base_seed * 1_000_003 + self.epoch * 9_973 + idx)
@@ -374,6 +383,84 @@ class SyntheticCohort:
                                  feature_store=self.store)
 
 
+# ---------------------------------------------------------------------------
+# Process-pool worker plumbing (BatchLoader(pool='process')).
+#
+# The GIL-holding per-sample stages — the pure-python DICOM/NRRD parsers
+# (data/medical_io.py), BPE tokenization, cohort/CI glue — cannot scale
+# across cores on threads; a process pool sidesteps the GIL (the torch
+# num_workers=16 equivalent, train_ddp.py:75-76 + dataset worker
+# processes).  Design:
+# - 'spawn' context: the parent typically has a live JAX runtime whose
+#   threads make fork() unsafe (deadlock risk); spawn re-imports in the
+#   child, and the dataset is pickled ONCE per worker via the pool
+#   initializer (a per-task submit would re-pickle the cohort DataFrame
+#   and feature store every sample);
+# - epoch rides along with each index so the per-(epoch, index) RNG
+#   streams stay exact without re-creating the pool per epoch;
+# - arrays above _SHM_MIN bytes return through POSIX shared memory
+#   (one copy out of the segment) instead of being pickled through the
+#   result pipe (serialize + deserialize = two copies of a 168 MB CT
+#   view, BENCH_NOTES r3 collate table).
+# ---------------------------------------------------------------------------
+
+_POOL_DS = None
+_SHM_MIN = 1 << 20
+
+
+def _pool_init(ds):
+    global _POOL_DS
+    _POOL_DS = ds
+
+
+def _shm_pack(sample: Dict) -> Dict:
+    from multiprocessing import shared_memory
+    out: Dict = {}
+    for k, v in sample.items():
+        if isinstance(v, np.ndarray) and v.nbytes >= _SHM_MIN:
+            shm = shared_memory.SharedMemory(create=True, size=v.nbytes)
+            np.ndarray(v.shape, v.dtype, buffer=shm.buf)[...] = v
+            name = shm.name
+            # the parent owns the segment's lifetime (it unlinks after
+            # copying out); deregister it from THIS process's resource
+            # tracker so worker shutdown doesn't double-unlink
+            try:
+                from multiprocessing import resource_tracker
+                resource_tracker.unregister("/" + name, "shared_memory")
+            except Exception:
+                pass
+            shm.close()
+            out[k] = ("__shm__", name, v.shape, str(v.dtype))
+        else:
+            out[k] = v
+    return out
+
+
+def _shm_unpack(sample: Dict) -> Dict:
+    from multiprocessing import shared_memory
+    out: Dict = {}
+    for k, v in sample.items():
+        if isinstance(v, tuple) and len(v) == 4 and v[0] == "__shm__":
+            _, name, shape, dtype = v
+            shm = shared_memory.SharedMemory(name=name)
+            try:
+                out[k] = np.ndarray(shape, np.dtype(dtype),
+                                    buffer=shm.buf).copy()
+            finally:
+                shm.close()
+                shm.unlink()
+        else:
+            out[k] = v
+    return out
+
+
+def _pool_get(args):
+    idx, epoch = args
+    if _POOL_DS.epoch != epoch:
+        _POOL_DS.set_epoch(epoch)
+    return _shm_pack(_POOL_DS[idx])
+
+
 class BatchLoader:
     """Batched iterator with per-batch bag bucketing and thread prefetch."""
 
@@ -381,7 +468,7 @@ class BatchLoader:
                  sampler=None, shuffle: bool = False, seed: int = 0,
                  buckets: Sequence[int] | None = None,
                  prefetch: int = 2, drop_last: bool = False,
-                 num_workers: int = 0):
+                 num_workers: int = 0, pool: str = "thread"):
         self.ds = dataset
         self.batch_size = batch_size
         self.sampler = sampler
@@ -396,6 +483,15 @@ class BatchLoader:
         # augmentation randomness per (epoch, index), not from shared state;
         # results are identical at any worker count.
         self.num_workers = num_workers
+        # 'thread' (default: decode/pack/np.load release the GIL) or
+        # 'process' (sidesteps the GIL for the pure-python parse stages;
+        # spawn context + shared-memory array transport — see the module
+        # plumbing above).  Identical batches either way (exact-parity
+        # tested).
+        if pool not in ("thread", "process"):
+            raise ValueError(f"pool must be 'thread' or 'process', "
+                             f"got {pool!r}")
+        self.pool = pool
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -467,23 +563,44 @@ class BatchLoader:
             # windowed CROSS-batch sample pipeline: per-sample futures with
             # a bounded in-flight window, yielded in order.  A per-batch
             # pool.map would cap parallelism at batch_size (zero at the
-            # production serving batch of 1); the hot per-sample work —
-            # gzip inflate (libdeflate/zlib), the C++ packer, np.load —
-            # all releases the GIL, so threads scale on multi-core hosts.
+            # production serving batch of 1).  Thread mode: the hot
+            # per-sample work — gzip inflate (libdeflate/zlib), the C++
+            # packer, np.load — all releases the GIL.  Process mode: the
+            # GIL-holding parse stages scale too (see module plumbing).
             from collections import deque
-            from concurrent.futures import ThreadPoolExecutor
+            if self.pool == "process":
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+                executor = ProcessPoolExecutor(
+                    self.num_workers, mp_context=mp.get_context("spawn"),
+                    initializer=_pool_init, initargs=(self.ds,))
+                epoch = self.ds.epoch
+
+                def submit(pool, i):
+                    return pool.submit(_pool_get, (int(i), epoch))
+
+                post = _shm_unpack
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                executor = ThreadPoolExecutor(self.num_workers)
+
+                def submit(pool, i):
+                    return pool.submit(self.ds.__getitem__, int(i))
+
+                def post(s):
+                    return s
+
             window = max(self.num_workers * 2, self.batch_size)
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            with executor as pool:
                 futs: deque = deque()
                 pos = 0
                 for start in range(0, len(idx), self.batch_size):
                     chunk = idx[start:start + self.batch_size]
                     while pos < len(idx) and len(futs) < len(chunk) + window:
-                        futs.append(pool.submit(self.ds.__getitem__,
-                                                int(idx[pos])))
+                        futs.append(submit(pool, idx[pos]))
                         pos += 1
                     yield self._collate(
-                        [futs.popleft().result() for _ in chunk])
+                        [post(futs.popleft().result()) for _ in chunk])
             return
         for start in range(0, len(idx), self.batch_size):
             chunk = idx[start:start + self.batch_size]

@@ -100,6 +100,8 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     (quantization error); mutually exclusive with ``ct_depth_shard``.
     """
     mode = mode or cfg.mode
+    from ..config import resolve_memory_config
+    cfg = resolve_memory_config(cfg, training=False)
     served = None
     if artifact:
         if ct_depth_shard or ct_int8 or state is not None:

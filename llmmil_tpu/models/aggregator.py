@@ -58,6 +58,12 @@ def mask_centroids(m: jnp.ndarray) -> jnp.ndarray:
 
 def make_ct_extractor(cfg: Config, dtype, name: str | None = None):
     """CT-extractor factory (aggregator.py:17-34 dispatch)."""
+    if cfg.ct_remat == "auto" or cfg.swin_crop_chunk < 0:
+        # drivers resolve 'auto' memory knobs with the run type
+        # (fit/evaluate call resolve_memory_config); direct build_model
+        # users get the memory-SAFE resolution (training assumptions)
+        from ..config import resolve_memory_config
+        cfg = resolve_memory_config(cfg, training=True)
     kw = {} if name is None else {"name": name}
     if cfg.ct_layers and cfg.model_CT not in ("resnetMC3_18",
                                               "resnetMC3_18_wMask"):

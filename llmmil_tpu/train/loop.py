@@ -158,6 +158,8 @@ def fit(cfg: Config, train_loader, valid_loader,
 
     ``profile_dir`` enables a jax.profiler trace of the first training epoch
     (the reference's only tracing is wall-clock meters, SURVEY §5)."""
+    from ..config import resolve_memory_config
+    cfg = resolve_memory_config(cfg, training=True)
     save_dir = save_dir or make_save_dir(cfg)
     dump_config(cfg, save_dir)
     writer = MetricWriter(save_dir)

@@ -56,9 +56,11 @@ def main(argv=None):
     sampler = ShardedEpochSampler(len(train_ds), shuffle=True,
                                   seed=cfg.seed)
     train_loader = BatchLoader(train_ds, cfg.batch_size, sampler=sampler,
-                               num_workers=cfg.num_workers)
+                               num_workers=cfg.num_workers,
+                               pool=cfg.loader_pool)
     valid_loader = BatchLoader(valid_ds, cfg.batch_size, shuffle=False,
-                               num_workers=cfg.num_workers)
+                               num_workers=cfg.num_workers,
+                               pool=cfg.loader_pool)
 
     summary = fit(cfg, train_loader, valid_loader,
                   profile_dir=cfg.profile_dir or None)
