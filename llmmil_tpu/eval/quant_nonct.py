@@ -1,0 +1,179 @@
+"""Post-training int8 quantization of the NON-CT serving stack.
+
+Beyond-reference serving feature, the companion of the CT-trunk PTQ
+(``eval/quant.py``).  The reference's timed metric (test_ddp.py:214-234)
+spends its non-CT portion in dense matmuls: the three TwoWayTransformer
+stacks (q/k/v/out projections + 2048-d MLPs over ~15k fused tokens), the
+TransMIL aggregator's Nyström qkv/fc1/out, the 768→512 pathology
+projection, and the CLIP text tower's 12 resblocks.  All are
+MXU-shaped GEMMs, and the v5e MXU runs s8×s8→s32 at ~2× the bf16 rate
+(scripts/probe_int8_conv.py).
+
+Mechanism — no model surgery: a flax **method interceptor**
+(``nn.intercept_methods``) wraps every ``nn.Dense.__call__`` during
+``model.apply``:
+
+- calibration: the float forward runs once per calibration batch with an
+  observing interceptor recording per-site max|input| (same static
+  per-tensor activation scheme as the CT trunk);
+- serving: Dense sites whose kernels clear ``min_elems`` quantize —
+  per-output-channel symmetric int8 weights (prepared once), input
+  quantized with the calibrated scale, ``lax.dot_general`` with
+  ``preferred_element_type=int32``, dequant ``(sx·sw)`` fused into the
+  epilogue, float bias, cast to the module dtype.  Everything else
+  (LayerNorms, softmaxes, small heads, convs) stays float.
+
+The quantized-site SET is decided by kernel size, not a hand list, so
+new Dense layers (MoE experts use einsum, not Dense — excluded) are
+covered automatically.  Composes with ``ct_int8``: CT features are
+injected first (eval/test_driver.py), the interceptor covers the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["calibrate_nonct", "quantize_nonct", "intercepted_apply",
+           "nonct_int8_pack"]
+
+# a Dense site quantizes when its kernel has at least this many elements
+# (512×128): below that the GEMM is latency-bound and the quant/dequant
+# glue costs more than the matmul
+MIN_ELEMS = 65536
+
+
+def _dense_sites(params, min_elems: int = MIN_ELEMS) -> Dict[str, tuple]:
+    """{'a/b/c': (kernel, bias|None)} for every Dense-shaped param node
+    with a 2-D kernel clearing the size threshold."""
+    out: Dict[str, tuple] = {}
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return
+        k = node.get("kernel")
+        if k is not None and getattr(k, "ndim", 0) == 2 \
+                and k.size >= min_elems:
+            out["/".join(path)] = (k, node.get("bias"))
+        for name, child in node.items():
+            if isinstance(child, dict):
+                walk(child, path + (name,))
+
+    walk(params, ())
+    return out
+
+
+def _quant_kernel(k):
+    """(in, out) → per-out-channel symmetric int8 + scale (out,)."""
+    sw = jnp.max(jnp.abs(k), axis=0) / 127.0
+    sw = jnp.maximum(sw, 1e-12)
+    kq = jnp.clip(jnp.round(k / sw), -127, 127).astype(jnp.int8)
+    return kq, sw.astype(jnp.float32)
+
+
+def _module_path(context) -> str:
+    return "/".join(str(p) for p in context.module.path)
+
+
+def _observing_interceptor(observed: Dict[str, jnp.ndarray], sites):
+    def interceptor(next_fun, args, kwargs, context):
+        if isinstance(context.module, nn.Dense) \
+                and context.method_name == "__call__":
+            path = _module_path(context)
+            if path in sites:
+                m = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
+                observed[path] = jnp.maximum(observed[path], m) \
+                    if path in observed else m
+        return next_fun(*args, **kwargs)
+    return interceptor
+
+
+def _int8_interceptor(pack: Dict[str, tuple], hits: Optional[set] = None):
+    """Replace quantized Dense sites with the s8×s8→s32 GEMM."""
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if not (isinstance(mod, nn.Dense)
+                and context.method_name == "__call__"):
+            return next_fun(*args, **kwargs)
+        entry = pack.get(_module_path(context))
+        if entry is None:
+            return next_fun(*args, **kwargs)
+        kq, sw, bias, sx = entry
+        if hits is not None:
+            hits.add(_module_path(context))
+        x = args[0]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        y = lax.dot_general(xq, kq,
+                            (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (sx * sw)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        out_dtype = mod.dtype or x.dtype
+        return y.astype(out_dtype)
+    return interceptor
+
+
+def calibrate_nonct(model, variables, batches: Iterable[dict],
+                    min_elems: int = MIN_ELEMS,
+                    apply_kwargs: Optional[dict] = None
+                    ) -> Dict[str, jnp.ndarray]:
+    """Per-site activation scales {path: max|x|/127} from float forwards
+    over ``batches`` (dict batches as ``model.apply`` takes them)."""
+    sites = _dense_sites(variables["params"], min_elems)
+    kw = dict(train=False, **(apply_kwargs or {}))
+
+    @jax.jit
+    def one(b):
+        obs: Dict[str, jnp.ndarray] = {}
+        with nn.intercept_methods(_observing_interceptor(obs, sites)):
+            model.apply(variables, b, **kw)
+        return obs
+
+    agg: Dict[str, float] = {}
+    n = 0
+    for b in batches:
+        for k, m in one(b).items():
+            agg[k] = max(agg.get(k, 0.0), float(m))
+        n += 1
+    if not n or not agg:
+        raise ValueError("non-CT calibration saw no batches / no sites")
+    return {k: jnp.float32(max(m, 1e-12) / 127.0) for k, m in agg.items()}
+
+
+def quantize_nonct(variables, scales: Dict[str, jnp.ndarray],
+                   min_elems: int = MIN_ELEMS) -> Dict[str, tuple]:
+    """Serving pack {path: (kq, sw, bias, sx)} for every calibrated
+    Dense site."""
+    sites = _dense_sites(variables["params"], min_elems)
+    missing = set(sites) - set(scales)
+    if missing:
+        raise ValueError(
+            f"calibration missed {len(missing)} Dense site(s) — were the "
+            f"calibration batches the same modality shape? {sorted(missing)[:4]}")
+    pack = {}
+    for path, (k, bias) in sites.items():
+        kq, sw = _quant_kernel(k)
+        pack[path] = (kq, sw, bias, scales[path])
+    return pack
+
+
+def intercepted_apply(model, variables, batch, pack: Dict[str, tuple],
+                      hits: Optional[set] = None, **apply_kwargs):
+    """``model.apply`` with the int8 Dense interceptor active."""
+    with nn.intercept_methods(_int8_interceptor(pack, hits)):
+        return model.apply(variables, batch, **apply_kwargs)
+
+
+def nonct_int8_pack(model, variables, batches,
+                    min_elems: int = MIN_ELEMS,
+                    apply_kwargs: Optional[dict] = None):
+    """Calibrate + quantize in one shot; returns the serving pack."""
+    scales = calibrate_nonct(model, variables, batches, min_elems,
+                             apply_kwargs)
+    return quantize_nonct(variables, scales, min_elems)

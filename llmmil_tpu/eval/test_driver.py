@@ -75,7 +75,7 @@ def _restore_from_torch(state, path: str, cfg: Config):
 def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
              state=None, out_dir: Optional[str] = None,
              mode: Optional[str] = None, ct_depth_shard: int = 0,
-             ct_int8: int = 0, artifact: str = "",
+             ct_int8: int = 0, nonct_int8: bool = False, artifact: str = "",
              export_artifact: str = "") -> Dict:
     """Run inference over a loader; returns metrics + per-patient table.
 
@@ -98,16 +98,24 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     volumes of the loader, then every patient's CT features come from the
     s8xs8->s32 MXU path (~2x the bf16 conv rate on v5e).  Approximate
     (quantization error); mutually exclusive with ``ct_depth_shard``.
+
+    ``nonct_int8``: int8-quantize the NON-CT dense stack too
+    (``eval/quant_nonct.py``: TwoWay attention/MLP, TransMIL qkv/fc,
+    CLIP resblocks, the 768→512 pathology projection — every Dense site
+    above the size threshold, via a flax method interceptor).  Calibrated
+    on the first max(ct_int8, 2) batches; composes with ``ct_int8``
+    (calibration runs the float model — the int8-CT feature drift is far
+    inside the activation-scale headroom).  Approximate like ct_int8.
     """
     mode = mode or cfg.mode
     from ..config import resolve_memory_config
     cfg = resolve_memory_config(cfg, training=False)
     served = None
     if artifact:
-        if ct_depth_shard or ct_int8 or state is not None:
+        if ct_depth_shard or ct_int8 or nonct_int8 or state is not None:
             raise ValueError("artifact serving replaces the live model; "
                              "it can't combine with ct_depth_shard / "
-                             "ct_int8 / a passed-in state")
+                             "ct_int8 / nonct_int8 / a passed-in state")
         from .export import load_artifact
         served = load_artifact(artifact)
         print(f"=> serving from artifact '{artifact}' "
@@ -195,6 +203,28 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
         print(f"=> int8 CT trunk calibrated on {len(calib)} volume(s), "
               f"{len(qpack['kq'])} quantized conv sites")
 
+    nonct_pack = None
+    if nonct_int8:
+        import itertools
+
+        from .quant_nonct import nonct_int8_pack
+        it2 = iter(eval_batches)
+        head2 = []
+        for batch in it2:
+            head2.append(batch)
+            if len(head2) >= max(ct_int8, 2):
+                break
+        eval_batches = itertools.chain(head2, it2)
+        calib_b = [{k: jnp.asarray(v) for k, v in b.items() if k != "ID"}
+                   for b in head2]
+        var2 = {"params": state.params}
+        if state.batch_stats is not None and jax.tree_util.tree_leaves(
+                state.batch_stats):
+            var2["batch_stats"] = state.batch_stats
+        nonct_pack = nonct_int8_pack(model, var2, calib_b)
+        print(f"=> int8 non-CT stack calibrated on {len(calib_b)} "
+              f"batch(es), {len(nonct_pack)} quantized Dense sites")
+
     @jax.jit
     def forward(params, batch_stats, batch, qp):
         variables = {"params": params}
@@ -212,6 +242,10 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
             feat = run_trunk_int8(cfg, qp, _int8_ct_input(batch), dtype=qdt)
             batch = {k: v for k, v in batch.items() if k != "input_CT"}
             batch = dict(batch, ct_features=feat)
+        if nonct_pack is not None:
+            from .quant_nonct import intercepted_apply
+            return intercepted_apply(model, variables, batch, nonct_pack,
+                                     train=False)["probs"]
         return model.apply(variables, batch, train=False)["probs"]
 
     def shape_key(db):
@@ -249,6 +283,10 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
                                       dtype=qdt)
                 b = {k: v for k, v in b.items() if k != "input_CT"}
                 b = dict(b, ct_features=feat)
+            if nonct_pack is not None:
+                from .quant_nonct import intercepted_apply
+                return intercepted_apply(model, var_local, b, nonct_pack,
+                                         train=False)["probs"]
             return model.apply(var_local, b, train=False)["probs"]
 
         first = (loader.first_batch() if hasattr(loader, "first_batch")
@@ -261,7 +299,8 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
             serve_fn, [ex],
             manifest_extra={"num_classes": cfg.num_classes,
                             "config": cfg.to_dict(),
-                            "ct_int8": ct_int8}))
+                            "ct_int8": ct_int8,
+                            "nonct_int8": bool(nonct_int8)}))
         print(f"=> exported serving artifact '{export_artifact}'"
               + (" (int8 CT trunk baked in)" if qpack is not None else ""))
 

@@ -36,6 +36,11 @@ def main(argv=None):
     parser.add_argument("--ct_int8", type=int, default=0,
                         help="post-training int8 CT trunk, calibrated on "
                              "the first N volumes (eval/quant.py)")
+    parser.add_argument("--nonct_int8", action="store_true",
+                        help="also int8-quantize the non-CT dense stack "
+                             "(TwoWay/TransMIL/CLIP GEMMs, "
+                             "eval/quant_nonct.py); composes with "
+                             "--ct_int8")
     parser.add_argument("--eval_batch", type=int, default=1,
                         help="patients per device batch (beyond reference"
                              " — test_ddp.py:73 forces 1; probs are "
@@ -81,7 +86,8 @@ def main(argv=None):
 
     res = evaluate(cfg, loader, checkpoint_path=ckpt, out_dir=out_dir,
                    mode=mode, ct_depth_shard=ns.ct_depth_shard,
-                   ct_int8=ns.ct_int8, artifact=ns.artifact,
+                   ct_int8=ns.ct_int8, nonct_int8=ns.nonct_int8,
+                   artifact=ns.artifact,
                    export_artifact=ns.export_artifact)
     print(f"AUC {res['auc']:.4f}  ACC {res['acc']:.4f}  "
           f"prec {res['precision']:.4f}  rec {res['recall']:.4f}  "
