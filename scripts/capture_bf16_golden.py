@@ -62,12 +62,34 @@ def main():
     print("grads done", file=sys.stderr)
 
     drift = float(np.max(np.abs(out["bf16"] - out["fp32"])))
+
+    # --- trained-state goldens (VERDICT r3 #7): 20 fp32 steps, loss
+    # descending, then the bf16/fp32 forward from the SAME params — the
+    # trained state shrinks the rounding amplification of the random
+    # init, so its lock can be far tighter than the untrained 0.02
+    from test_golden import _trained_tiny_flagship
+    tcfg32, tbatch, tvars, losses = _trained_tiny_flagship()
+    print(f"trained losses: {losses[0]:.4f} -> {losses[-1]:.4f}",
+          file=sys.stderr)
+    tout = {}
+    for tag, dtype in (("fp32", "float32"), ("bf16", "bfloat16")):
+        tmodel = build_model(tcfg32.replace(compute_dtype=dtype))
+        o = tmodel.apply(tvars, tbatch)
+        tout[tag] = np.asarray(
+            jnp.stack([o["probs"], o["probs_CT"], o["probs_Pth"]]),
+            dtype=np.float64)
+    tdrift = float(np.max(np.abs(tout["bf16"] - tout["fp32"])))
+
     print(json.dumps({
         "platform": jax.devices()[0].platform,
         "golden_bf16": out["bf16"].tolist(),
         "golden_fp32": out["fp32"].tolist(),
         "grad_branch_norms_bf16": gnorms,
         "max_drift_bf16_vs_fp32": drift,
+        "trained_losses": losses,
+        "trained_golden_bf16": tout["bf16"].tolist(),
+        "trained_golden_fp32": tout["fp32"].tolist(),
+        "trained_max_drift_bf16_vs_fp32": tdrift,
     }, indent=1))
 
 
