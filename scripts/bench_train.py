@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--ct-int8", action="store_true",
                    help="eval with the int8-quantized CT trunk "
                         "(eval/quant.py; implies --eval)")
+    p.add_argument("--nonct-int8", action="store_true",
+                   help="eval with the int8-quantized NON-CT dense stack "
+                        "(eval/quant_nonct.py; implies --eval, composes "
+                        "with --ct-int8)")
     ns = p.parse_args(argv)
 
     import jax
@@ -84,6 +88,29 @@ def main(argv=None):
           flush=True)
 
     rng = jax.random.PRNGKey(1)
+    nonct_pack = None
+    if ns.nonct_int8:
+        import contextlib
+
+        import flax.linen as nn
+        from llmmil_tpu.eval.quant_nonct import (_int8_interceptor,
+                                                 nonct_int8_pack)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        t0 = time.perf_counter()
+        calib = {k: v for k, v in batch.items() if k != "label"}
+        nonct_pack = nonct_int8_pack(model, variables, [calib])
+        print(f"non-CT int8 calib+quant {time.perf_counter() - t0:.1f}s, "
+              f"{len(nonct_pack)} Dense sites", flush=True)
+
+        def nonct_ctx():
+            return nn.intercept_methods(_int8_interceptor(nonct_pack))
+    else:
+        import contextlib
+
+        def nonct_ctx():
+            return contextlib.nullcontext()
+
     if ns.ct_int8:
         from llmmil_tpu.eval.quant import (calibrate_ct_trunk,
                                            quantize_ct_trunk,
@@ -105,15 +132,23 @@ def main(argv=None):
         def int8_step(state, batch, qpack):
             feat = run_trunk_int8(cfg, qpack, batch["input_CT"], dtype=qdt)
             b2 = {k: v for k, v in batch.items() if k != "input_CT"}
-            return estep(state, dict(b2, ct_features=feat))["loss"]
+            with nonct_ctx():
+                return estep(state, dict(b2, ct_features=feat))["loss"]
 
         def once(state, batch):
             return int8_step(state, batch, qpack)
-    elif ns.eval:
-        step = make_eval_step(cfg)
+    elif ns.eval or ns.nonct_int8:
+        estep = make_eval_step(cfg, jit=False)
+        from llmmil_tpu.utils import compiler_options_from_cfg
+
+        @functools.partial(jax.jit,
+                           compiler_options=compiler_options_from_cfg(cfg))
+        def eval_step(state, batch):
+            with nonct_ctx():
+                return estep(state, batch)["loss"]
 
         def once(state, batch):
-            return step(state, batch)["loss"]
+            return eval_step(state, batch)
     else:
         train_step = make_train_step(cfg, donate=False)
 
@@ -138,8 +173,10 @@ def main(argv=None):
     d1 = run_k(1)
     dk = run_k(1 + ns.iters)
     step_t = (dk - d1) / ns.iters
-    mode = ("int8-eval" if ns.ct_int8 else
-            "eval" if ns.eval else "train")
+    mode = (("int8ct+" if ns.ct_int8 else "")
+            + ("int8nonct+" if ns.nonct_int8 else "")
+            + ("eval" if (ns.eval or ns.ct_int8 or ns.nonct_int8)
+               else "train"))
     print(f"{mode} step: {step_t * 1e3:.1f} ms "
           f"({b / step_t:.2f} samples/s)", flush=True)
 
