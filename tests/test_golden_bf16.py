@@ -9,12 +9,17 @@ BACKWARD path.  Runs only on TPU (``LLMMIL_TEST_TPU=1 python -m pytest
 tests/test_golden_bf16.py``); skipped on the CPU suite — bf16 numerics are
 platform-specific (MXU vs emulation).
 
-Tolerance rationale: outputs are bf16-quantised (grid ~4e-3 around 0.5)
-and the untrained tiny flagship amplifies rounding (measured bf16-vs-fp32
-drift is 0.55!), so ANY reduction reassociation moves values by a few
-ulps; 0.02 absolute covers scheduling jitter while a wrong kernel (sign
-flips, dropped taps) moves probs by 0.1+.  If the default conv backend is
-deliberately changed, re-capture and update these values in the same
+Tolerance rationale (untrained locks): outputs are bf16-quantised (grid
+~4e-3 around 0.5) and the untrained tiny flagship amplifies rounding
+(measured bf16-vs-fp32 drift is 0.55!), so ANY reduction reassociation
+moves values by a few ulps; 0.02 absolute covers scheduling jitter while
+a wrong kernel (sign flips, dropped taps) moves probs by 0.1+.
+
+The TRAINED-state lock below (VERDICT r3 #7, captured r4) is the tight
+one: 20 deterministic fp32 steps bring the loss 2.73→0.42, the
+bf16-vs-fp32 drift collapses 0.55→0.0030, and the band is 0.008.  If the
+default conv backend is deliberately changed, re-capture
+(scripts/capture_bf16_golden.py) and update all values in the same
 commit.
 """
 
@@ -30,6 +35,19 @@ GOLDEN_BF16_PROBS = [
     [[0.208984375, 0.7734375], [0.22265625, 0.78125]],
     [[0.25, 0.71875], [0.291015625, 0.73828125]],
 ]
+
+# bf16 forward at the TRAINED anchor state (tests/test_golden.py::
+# _trained_tiny_flagship — 20 deterministic fp32 steps, loss 2.73→0.42),
+# captured on v5e 2026-08-20 (round 4).  The trained state shrinks the
+# rounding amplification ~180×: measured bf16-vs-fp32 drift here is
+# 0.0030 (vs 0.55 untrained), so the lock is 0.008 absolute — 2.7× the
+# measured drift, vs the untrained test's 0.02.
+GOLDEN_BF16_TRAINED_PROBS = [
+    [[0.5390625, 0.53515625], [0.80859375, 0.23828125]],
+    [[0.59375, 0.54296875], [0.62890625, 0.546875]],
+    [[0.11767578, 0.84765625], [0.85546875, 0.20898438]],
+]
+TRAINED_FINAL_LOSS = 0.419  # captured; locked loosely below
 
 GOLDEN_BF16_GRAD_NORMS = {
     "TwoWayTransformer_Both": 79470.96,
@@ -67,6 +85,27 @@ def test_golden_flagship_bf16_forward():
         jnp.stack([out["probs"], out["probs_CT"], out["probs_Pth"]]),
         dtype=np.float64)
     np.testing.assert_allclose(got, np.array(GOLDEN_BF16_PROBS), atol=0.02)
+
+
+@tpu_only
+def test_golden_flagship_bf16_trained_forward():
+    """The tight production lock (VERDICT r3 #7): bf16 forward from the
+    deterministic trained anchor.  A subtly wrong kernel tap (one of the
+    33 value-conv MACs dropped, a conv backend drift) moves these probs
+    well past the 0.008 band that scheduling jitter cannot reach."""
+    from test_golden import _trained_tiny_flagship
+    from llmmil_tpu.models import build_model
+
+    cfg, batch, tvars, losses = _trained_tiny_flagship()
+    # the anchor itself must reproduce: training is deterministic fp32
+    assert losses[0] > 2.0 and losses[-1] < 0.6, losses
+    model = build_model(cfg.replace(compute_dtype="bfloat16"))
+    out = model.apply(tvars, batch)
+    got = np.asarray(
+        jnp.stack([out["probs"], out["probs_CT"], out["probs_Pth"]]),
+        dtype=np.float64)
+    np.testing.assert_allclose(got, np.array(GOLDEN_BF16_TRAINED_PROBS),
+                               atol=0.008)
 
 
 @tpu_only
