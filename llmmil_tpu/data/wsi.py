@@ -189,17 +189,35 @@ def read_slide(path: str) -> np.ndarray:
 def extract_tiles(image: np.ndarray, tile: int,
                   stride: Optional[int] = None,
                   min_foreground: float = 0.0,
-                  out_px: Optional[int] = None) -> Tuple[np.ndarray,
-                                                         np.ndarray]:
-    """Tile + preprocess one slide.
+                  out_px: Optional[int] = None,
+                  preprocess: bool = True) -> Tuple[np.ndarray,
+                                                    np.ndarray]:
+    """Tile (+ optionally preprocess) one slide.
 
     Returns ``(tiles, positions)``: tiles (N, out_px, out_px, 3) float32
-    CLIP-normalized, positions (N, 2) the surviving (y, x) corners.
-    ``min_foreground > 0`` drops background tiles BEFORE the (costly)
-    preprocess.  ``out_px`` defaults to ``tile`` (no resize when the grid
-    is cut at the encoder's native 224)."""
+    CLIP-normalized (or raw uint8 when ``preprocess=False`` — the
+    normalize-on-device path: a uint8 tile batch is 4× fewer host→device
+    bytes, which is THE bottleneck on a tunneled chip), positions (N, 2)
+    the surviving (y, x) corners.  ``min_foreground > 0`` drops
+    background tiles BEFORE the (costly) preprocess.  ``out_px`` defaults
+    to ``tile`` (no resize when the grid is cut at the encoder's native
+    224); the raw path requires tile == out_px."""
     out_px = out_px or tile
-    pos = tile_grid(image.shape[0], image.shape[1], tile, stride)
+    if not preprocess and out_px != tile:
+        raise ValueError("raw (preprocess=False) tiles need tile == out_px"
+                         " — the resize runs in clip_preprocess")
+    h, w = image.shape[:2]
+    stride_ = stride or tile
+    if not preprocess and min_foreground <= 0 and stride_ == tile \
+            and image.ndim == 3 and image.shape[-1] == 3:
+        # fast vectorized grid cut (no per-tile python loop)
+        gh, gw = h // tile, w // tile
+        tiles = image[:gh * tile, :gw * tile] \
+            .reshape(gh, tile, gw, tile, 3) \
+            .transpose(0, 2, 1, 3, 4).reshape(-1, tile, tile, 3)
+        return np.ascontiguousarray(tiles), \
+            tile_grid(h, w, tile, stride_)
+    pos = tile_grid(h, w, tile, stride)
     keep, proc = [], []
     for y, x in pos:
         t = image[y:y + tile, x:x + tile]
@@ -207,9 +225,10 @@ def extract_tiles(image: np.ndarray, tile: int,
                 foreground_fraction(t) < min_foreground:
             continue
         keep.append((y, x))
-        proc.append(clip_preprocess(t, out_px))
+        proc.append(clip_preprocess(t, out_px) if preprocess else t)
     if not proc:
-        return (np.zeros((0, out_px, out_px, 3), np.float32),
+        dt = np.float32 if preprocess else image.dtype
+        return (np.zeros((0, out_px, out_px, 3), dt),
                 np.zeros((0, 2), np.int64))
     return np.stack(proc), np.asarray(keep, np.int64)
 
@@ -218,18 +237,22 @@ def encode_slide(encode_fn: Callable[[np.ndarray], np.ndarray],
                  image: np.ndarray, tile: int = 224,
                  stride: Optional[int] = None, batch: int = 256,
                  min_foreground: float = 0.0,
-                 out_px: Optional[int] = None) -> Tuple[np.ndarray,
-                                                        np.ndarray]:
+                 out_px: Optional[int] = None,
+                 preprocess: bool = True) -> Tuple[np.ndarray,
+                                                   np.ndarray]:
     """Slide → (N, embed) bag + (N, 2) tile positions.
 
-    ``encode_fn`` maps a (batch, px, px, 3) float32 array to (batch,
-    embed) — it is always called at the FULL fixed batch (the tail is
-    zero-padded then truncated) so a jitted encoder compiles exactly
-    once."""
-    tiles, pos = extract_tiles(image, tile, stride, min_foreground, out_px)
+    ``encode_fn`` maps a (batch, px, px, 3) array to (batch, embed) — it
+    is always called at the FULL fixed batch (the tail is zero-padded
+    then truncated) so a jitted encoder compiles exactly once.
+    ``preprocess=False`` ships RAW uint8 tiles (the encoder normalizes
+    on device — 4× fewer h2d bytes; PatchEncoder supports this)."""
+    tiles, pos = extract_tiles(image, tile, stride, min_foreground,
+                               out_px, preprocess=preprocess)
     n = tiles.shape[0]
     if n == 0:
-        probe = encode_fn(np.zeros((batch,) + tiles.shape[1:], np.float32))
+        probe = encode_fn(np.zeros((batch,) + tiles.shape[1:],
+                                   tiles.dtype))
         return np.zeros((0, probe.shape[-1]), np.float32), pos
     chunks = []
     for start in range(0, n, batch):
@@ -237,7 +260,7 @@ def encode_slide(encode_fn: Callable[[np.ndarray], np.ndarray],
         if chunk.shape[0] < batch:          # static shape for jit
             chunk = np.concatenate(
                 [chunk, np.zeros((batch - chunk.shape[0],)
-                                 + chunk.shape[1:], np.float32)])
+                                 + chunk.shape[1:], tiles.dtype)])
         chunks.append(np.asarray(encode_fn(chunk)))
     return np.concatenate(chunks)[:n].astype(np.float32), pos
 
@@ -265,10 +288,21 @@ class PatchEncoder:
         tower = make_vision_tower(vision_cfg,
                                   dtype or jnp.bfloat16)
         self._lock = threading.Lock()
+        # weights ride as jit ARGUMENTS, not closure constants — baked-in
+        # constants ship the full ViT-B/32 (~350 MB) inside the compile
+        # request, which the tunneled remote compiler rejects (HTTP 413)
+        self._variables = jax.device_put(variables)
 
         @jax.jit
-        def run(imgs):
-            out = tower.apply(variables, imgs)
+        def run(variables, imgs):
+            if imgs.dtype == jnp.uint8:
+                # normalize-on-device path: raw uint8 tiles cost 4× fewer
+                # bytes over the (bandwidth-bound) host→device link
+                x = imgs.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+                x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+            else:
+                x = imgs
+            out = tower.apply(variables, x)
             return out.astype(jnp.float32)
 
         self._run = run
@@ -277,15 +311,20 @@ class PatchEncoder:
         # one device program at a time (CLAUDE.md: two contending
         # programs deadlock the single tunneled chip)
         with self._lock:
-            return np.asarray(self._run(tiles))
+            return np.asarray(self._run(self._variables, tiles))
 
     def encode(self, image: np.ndarray, tile: int = 224,
                stride: Optional[int] = None, min_foreground: float = 0.0,
                out_px: Optional[int] = None):
         px = out_px or self.vision_cfg.image_resolution
+        image = np.asarray(image)
+        # raw uint8 transport whenever no host-side resize is needed
+        raw = (image.dtype == np.uint8 and tile == px
+               and image.ndim == 3 and image.shape[-1] == 3)
         return encode_slide(self, image, tile=tile, stride=stride,
                             batch=self.batch,
-                            min_foreground=min_foreground, out_px=px)
+                            min_foreground=min_foreground, out_px=px,
+                            preprocess=not raw)
 
     @classmethod
     def from_config(cls, cfg, batch: Optional[int] = None):
