@@ -128,17 +128,20 @@ def calibrate_nonct(model, variables, batches: Iterable[dict],
     sites = _dense_sites(variables["params"], min_elems)
     kw = dict(train=False, **(apply_kwargs or {}))
 
+    # variables ride as a jit ARGUMENT — closure capture would bake the
+    # full model as HLO constants, which the tunneled remote compiler
+    # rejects at flagship size (HTTP 413; BENCH_NOTES r4 WSI entry)
     @jax.jit
-    def one(b):
+    def one(v, b):
         obs: Dict[str, jnp.ndarray] = {}
         with nn.intercept_methods(_observing_interceptor(obs, sites)):
-            model.apply(variables, b, **kw)
+            model.apply(v, b, **kw)
         return obs
 
     agg: Dict[str, float] = {}
     n = 0
     for b in batches:
-        for k, m in one(b).items():
+        for k, m in one(variables, b).items():
             agg[k] = max(agg.get(k, 0.0), float(m))
         n += 1
     if not n or not agg:

@@ -225,8 +225,11 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
         print(f"=> int8 non-CT stack calibrated on {len(calib_b)} "
               f"batch(es), {len(nonct_pack)} quantized Dense sites")
 
+    # the int8 packs ride as jit ARGUMENTS (np_): interceptor-closure
+    # capture would bake them as HLO constants, which the tunneled remote
+    # compiler rejects at flagship size (HTTP 413)
     @jax.jit
-    def forward(params, batch_stats, batch, qp):
+    def forward(params, batch_stats, batch, qp, np_):
         variables = {"params": params}
         if batch_stats is not None and jax.tree_util.tree_leaves(
                 batch_stats):
@@ -242,9 +245,9 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
             feat = run_trunk_int8(cfg, qp, _int8_ct_input(batch), dtype=qdt)
             batch = {k: v for k, v in batch.items() if k != "input_CT"}
             batch = dict(batch, ct_features=feat)
-        if nonct_pack is not None:
+        if np_ is not None:
             from .quant_nonct import intercepted_apply
-            return intercepted_apply(model, variables, batch, nonct_pack,
+            return intercepted_apply(model, variables, batch, np_,
                                      train=False)["probs"]
         return model.apply(variables, batch, train=False)["probs"]
 
@@ -258,7 +261,8 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
                                 if k != "label"})
     else:
         def run_fwd(db):
-            return forward(state.params, state.batch_stats, db, qpack)
+            return forward(state.params, state.batch_stats, db, qpack,
+                           nonct_pack)
 
     if export_artifact:
         # freeze THIS serving configuration (plain or int8-quantized CT —

@@ -90,11 +90,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(1)
     nonct_pack = None
     if ns.nonct_int8:
-        import contextlib
-
-        import flax.linen as nn
-        from llmmil_tpu.eval.quant_nonct import (_int8_interceptor,
-                                                 nonct_int8_pack)
+        from llmmil_tpu.eval.quant_nonct import nonct_int8_pack
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         t0 = time.perf_counter()
@@ -103,13 +99,18 @@ def main(argv=None):
         print(f"non-CT int8 calib+quant {time.perf_counter() - t0:.1f}s, "
               f"{len(nonct_pack)} Dense sites", flush=True)
 
-        def nonct_ctx():
-            return nn.intercept_methods(_int8_interceptor(nonct_pack))
-    else:
-        import contextlib
+    # the pack must be a jit ARGUMENT, not an interceptor closure —
+    # closure capture bakes ~90 MB of int8 weights as HLO constants and
+    # the tunneled remote compiler rejects the request (HTTP 413)
+    import contextlib
 
-        def nonct_ctx():
+    import flax.linen as nn
+    from llmmil_tpu.eval.quant_nonct import _int8_interceptor
+
+    def nonct_ctx(pack):
+        if pack is None:
             return contextlib.nullcontext()
+        return nn.intercept_methods(_int8_interceptor(pack))
 
     if ns.ct_int8:
         from llmmil_tpu.eval.quant import (calibrate_ct_trunk,
@@ -129,26 +130,26 @@ def main(argv=None):
 
         @functools.partial(jax.jit,
                            compiler_options=compiler_options_from_cfg(cfg))
-        def int8_step(state, batch, qpack):
+        def int8_step(state, batch, qpack, npack):
             feat = run_trunk_int8(cfg, qpack, batch["input_CT"], dtype=qdt)
             b2 = {k: v for k, v in batch.items() if k != "input_CT"}
-            with nonct_ctx():
+            with nonct_ctx(npack):
                 return estep(state, dict(b2, ct_features=feat))["loss"]
 
         def once(state, batch):
-            return int8_step(state, batch, qpack)
+            return int8_step(state, batch, qpack, nonct_pack)
     elif ns.eval or ns.nonct_int8:
         estep = make_eval_step(cfg, jit=False)
         from llmmil_tpu.utils import compiler_options_from_cfg
 
         @functools.partial(jax.jit,
                            compiler_options=compiler_options_from_cfg(cfg))
-        def eval_step(state, batch):
-            with nonct_ctx():
+        def eval_step(state, batch, npack):
+            with nonct_ctx(npack):
                 return estep(state, batch)["loss"]
 
         def once(state, batch):
-            return eval_step(state, batch)
+            return eval_step(state, batch, nonct_pack)
     else:
         train_step = make_train_step(cfg, donate=False)
 
