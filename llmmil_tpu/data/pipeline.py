@@ -454,6 +454,24 @@ def _shm_unpack(sample: Dict) -> Dict:
     return out
 
 
+def _shm_free(sample: Dict) -> None:
+    """Unlink any shm segments referenced by a packed sample WITHOUT the
+    copy-out.  Used when a consumer abandons iteration with futures still
+    in flight: the worker deliberately unregistered the segment from its
+    own resource tracker (see _shm_pack), so nothing else will ever free
+    it — the parent must, or the segment (~168 MB at full CT shape)
+    outlives the process in /dev/shm."""
+    from multiprocessing import shared_memory
+    for v in sample.values():
+        if isinstance(v, tuple) and len(v) == 4 and v[0] == "__shm__":
+            try:
+                shm = shared_memory.SharedMemory(name=v[1])
+                shm.close()
+                shm.unlink()
+            except FileNotFoundError:
+                pass
+
+
 def _pool_get(args):
     idx, epoch = args
     if _POOL_DS.epoch != epoch:
@@ -492,6 +510,30 @@ class BatchLoader:
             raise ValueError(f"pool must be 'thread' or 'process', "
                              f"got {pool!r}")
         self.pool = pool
+        self._proc_executor = None
+
+    def _process_pool(self):
+        """Lazily created, reused across epochs (spawn + per-worker dataset
+        pickle is expensive; see _produce)."""
+        if self._proc_executor is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            self._proc_executor = ProcessPoolExecutor(
+                self.num_workers, mp_context=mp.get_context("spawn"),
+                initializer=_pool_init, initargs=(self.ds,))
+        return self._proc_executor
+
+    def close(self) -> None:
+        """Shut down the cached process pool (no-op for thread mode)."""
+        if self._proc_executor is not None:
+            self._proc_executor.shutdown(wait=True)
+            self._proc_executor = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -569,11 +611,13 @@ class BatchLoader:
             # GIL-holding parse stages scale too (see module plumbing).
             from collections import deque
             if self.pool == "process":
-                import multiprocessing as mp
-                from concurrent.futures import ProcessPoolExecutor
-                executor = ProcessPoolExecutor(
-                    self.num_workers, mp_context=mp.get_context("spawn"),
-                    initializer=_pool_init, initargs=(self.ds,))
+                # cached across epochs: 'spawn' re-imports + re-pickles the
+                # cohort DataFrame and feature store per worker, a
+                # significant cost on the 1-core host; the epoch rides with
+                # each index (workers re-sync via _pool_get) precisely so
+                # the pool does NOT need re-creation per epoch
+                pool = self._process_pool()
+                own_pool = False
                 epoch = self.ds.epoch
 
                 def submit(pool, i):
@@ -582,7 +626,8 @@ class BatchLoader:
                 post = _shm_unpack
             else:
                 from concurrent.futures import ThreadPoolExecutor
-                executor = ThreadPoolExecutor(self.num_workers)
+                pool = ThreadPoolExecutor(self.num_workers)
+                own_pool = True
 
                 def submit(pool, i):
                     return pool.submit(self.ds.__getitem__, int(i))
@@ -591,8 +636,8 @@ class BatchLoader:
                     return s
 
             window = max(self.num_workers * 2, self.batch_size)
-            with executor as pool:
-                futs: deque = deque()
+            futs: deque = deque()
+            try:
                 pos = 0
                 for start in range(0, len(idx), self.batch_size):
                     chunk = idx[start:start + self.batch_size]
@@ -601,6 +646,21 @@ class BatchLoader:
                         pos += 1
                     yield self._collate(
                         [post(futs.popleft().result()) for _ in chunk])
+            finally:
+                # consumer abandoned mid-epoch (preemption break in
+                # train/loop.py, tests stopping after n batches) or
+                # finished: cancel what never started and free the shm
+                # behind anything already in flight — those segments are
+                # deregistered from the workers' resource trackers and
+                # would otherwise leak past process exit
+                for f in futs:
+                    if not f.cancel() and self.pool == "process":
+                        try:
+                            _shm_free(f.result())
+                        except Exception:
+                            pass
+                if own_pool:
+                    pool.shutdown(wait=True)
             return
         for start in range(0, len(idx), self.batch_size):
             chunk = idx[start:start + self.batch_size]

@@ -238,8 +238,9 @@ def encode_slide(encode_fn: Callable[[np.ndarray], np.ndarray],
                  stride: Optional[int] = None, batch: int = 256,
                  min_foreground: float = 0.0,
                  out_px: Optional[int] = None,
-                 preprocess: bool = True) -> Tuple[np.ndarray,
-                                                   np.ndarray]:
+                 preprocess: bool = True,
+                 embed_dim: Optional[int] = None) -> Tuple[np.ndarray,
+                                                           np.ndarray]:
     """Slide → (N, embed) bag + (N, 2) tile positions.
 
     ``encode_fn`` maps a (batch, px, px, 3) array to (batch, embed) — it
@@ -251,9 +252,14 @@ def encode_slide(encode_fn: Callable[[np.ndarray], np.ndarray],
                                out_px, preprocess=preprocess)
     n = tiles.shape[0]
     if n == 0:
-        probe = encode_fn(np.zeros((batch,) + tiles.shape[1:],
-                                   tiles.dtype))
-        return np.zeros((0, probe.shape[-1]), np.float32), pos
+        # a blank/filtered-out slide must not trigger a full encoder
+        # compile (minutes on the tunneled backend) just to learn the
+        # embedding dim — callers that know it pass embed_dim
+        if embed_dim is None:
+            probe = encode_fn(np.zeros((batch,) + tiles.shape[1:],
+                                       tiles.dtype))
+            embed_dim = probe.shape[-1]
+        return np.zeros((0, embed_dim), np.float32), pos
     chunks = []
     for start in range(0, n, batch):
         chunk = tiles[start:start + batch]
@@ -324,7 +330,8 @@ class PatchEncoder:
         return encode_slide(self, image, tile=tile, stride=stride,
                             batch=self.batch,
                             min_foreground=min_foreground, out_px=px,
-                            preprocess=not raw)
+                            preprocess=not raw,
+                            embed_dim=self.embed_dim)
 
     @classmethod
     def from_config(cls, cfg, batch: Optional[int] = None):

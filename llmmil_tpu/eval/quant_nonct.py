@@ -156,11 +156,22 @@ def quantize_nonct(variables, scales: Dict[str, jnp.ndarray],
     sites = _dense_sites(variables["params"], min_elems)
     missing = set(sites) - set(scales)
     if missing:
-        raise ValueError(
-            f"calibration missed {len(missing)} Dense site(s) — were the "
-            f"calibration batches the same modality shape? {sorted(missing)[:4]}")
+        if len(missing) == len(sites):
+            raise ValueError(
+                "calibration observed NO Dense sites — were the "
+                "calibration batches the same modality shape?")
+        # sites not executed by the eval-mode calibration forward (train-
+        # only heads, modality-conditional branches) simply stay float —
+        # that is safe; crashing on them would block --nonct_int8 for any
+        # config with an alternate-branch Dense
+        print(f"[quant_nonct] {len(missing)} Dense site(s) never ran "
+              f"during calibration; leaving them float: "
+              f"{sorted(missing)[:4]}"
+              f"{' ...' if len(missing) > 4 else ''}", flush=True)
     pack = {}
     for path, (k, bias) in sites.items():
+        if path not in scales:
+            continue
         kq, sw = _quant_kernel(k)
         pack[path] = (kq, sw, bias, scales[path])
     return pack

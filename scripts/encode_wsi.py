@@ -82,8 +82,13 @@ def main(argv=None):
         rs = np.random.RandomState(0)
         side = ns.bench_slide
         n_tiles_slide = (side // cfg.wsi_tile) ** 2
-        # warm-up compiles the fixed-batch program
-        enc(np.zeros((enc.batch, cfg.wsi_px, cfg.wsi_px, 3), np.float32))
+        # warm-up must compile the program the timed loop actually runs:
+        # uint8 slides at tile==px go through the raw uint8-input program
+        # (device-side normalize), a DIFFERENT jit specialization from
+        # float32 — warming only f32 would hide a multi-minute remote
+        # compile inside the first timed iteration
+        warm_dtype = np.uint8 if cfg.wsi_tile == cfg.wsi_px else np.float32
+        enc(np.zeros((enc.batch, cfg.wsi_px, cfg.wsi_px, 3), warm_dtype))
         total_tiles, total_dev, t0 = 0, 0.0, time.perf_counter()
         for i in range(ns.bench):
             img = rs.randint(0, 256, (side, side, 3), dtype=np.uint8)

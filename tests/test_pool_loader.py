@@ -106,3 +106,34 @@ def test_thread_pool_still_exact():
     threads = BatchLoader(syn.dataset(cfg, "train"), 2, shuffle=True,
                           prefetch=0, num_workers=2, pool="thread")
     _assert_same(_batches(serial), _batches(threads))
+
+
+def test_abandoned_iteration_frees_shm_and_reuses_pool():
+    """Breaking out of a process-pool iteration must not leak the shm
+    segments behind in-flight futures (ADVICE r4: the worker deliberately
+    deregisters them from its own resource tracker, so only the parent
+    can free them), and the pool must be reused across epochs (spawn +
+    per-worker dataset pickle is expensive on a 1-core host)."""
+    import glob
+    cfg = _cfg()
+    syn = SyntheticCohort(cfg, n_per_hospital=3, ct_shape=(32, 96, 96),
+                          bag_range=(20, 60), seed=0)
+    procs = BatchLoader(syn.dataset(cfg, "train"), 1, shuffle=True,
+                        prefetch=0, num_workers=2, pool="process")
+
+    def shm_names():
+        return set(glob.glob("/dev/shm/psm_*") + glob.glob("/dev/shm/shm_*")
+                   + glob.glob("/dev/shm/wnsm_*"))
+
+    before = shm_names()
+    # abandon after 1 of ~6 batches, twice — the window keeps several
+    # futures in flight at the break
+    _batches(procs, epoch=0, n=1)
+    pool1 = procs._proc_executor
+    assert pool1 is not None
+    _batches(procs, epoch=1, n=1)
+    assert procs._proc_executor is pool1, "pool was recreated per epoch"
+    leaked = shm_names() - before
+    assert not leaked, f"abandoned iteration leaked shm segments: {leaked}"
+    procs.close()
+    assert procs._proc_executor is None
