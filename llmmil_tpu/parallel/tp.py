@@ -55,6 +55,17 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Params kept out of FSDP sharding: they are used INLINE (raw `@` / `+`
+# in encode_embedding, not through a Dense), so a storage-sharded layout
+# propagates straight into the residual-stream activations and GSPMD
+# resolves the collision with an involuntary full remat (MULTICHIP_r04
+# tail: the ln_final / take_along_axis sites).  Both are KBs at
+# production size — replication costs nothing.
+FSDP_EXCLUDE: Tuple[str, ...] = (
+    r"text_projection$",
+    r"positional_embedding$",
+)
+
 # (path regex, dim to shard): -1 = last (column-parallel kernels),
 # 0 = first (row-parallel kernels; column-parallel biases).
 DEFAULT_TP_RULES: Tuple[Tuple[str, int], ...] = (
@@ -120,9 +131,19 @@ def tp_shardings(tree: Any, mesh: Mesh, axis: str = "model",
 
     def one(path, x):
         shape = np.shape(x)
-        spec = list(tp_spec(_path_str(path), shape, n, axis, rules))
+        pathstr_one = _path_str(path)
+        spec = list(tp_spec(pathstr_one, shape, n, axis, rules))
         spec += [None] * (len(shape) - len(spec))
-        if fsdp_axis is not None and \
+        # depthwise/grouped conv kernels (in_channels-per-group dim == 1,
+        # e.g. TransMIL PPEG's (k, k, 1, dim)) stay out of FSDP: their
+        # channel dim is the conv's group dim, and GSPMD resolves a
+        # group-sharded kernel against batch-sharded activations with an
+        # involuntary full rematerialization every step — storage saved
+        # is a few KB, the reshard is not worth it (MULTICHIP_r04 tail)
+        depthwise = len(shape) >= 3 and shape[-2] == 1
+        excluded = depthwise or any(re.search(p, pathstr_one)
+                                    for p in FSDP_EXCLUDE)
+        if fsdp_axis is not None and not excluded and \
                 int(np.prod(shape, dtype=np.int64)) >= fsdp_min_size:
             taken = {i for i, s in enumerate(spec) if s is not None}
             nf = mesh.shape[fsdp_axis]
@@ -137,6 +158,79 @@ def tp_shardings(tree: Any, mesh: Mesh, axis: str = "model",
         return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map_with_path(one, tree)
+
+
+# Transformer-block module classes that carry the Megatron-paired matmuls
+# (DEFAULT_TP_RULES paths live inside these).  Their residual-stream
+# inputs/outputs are where activation layouts must be pinned.
+TP_BLOCK_CLASSES = frozenset({
+    "ResidualAttentionBlock",       # CLIP text + vision towers
+    "TransLayer",                   # TransMIL Nyström blocks
+    "TwoWayAttentionBlock",         # SAM-style fusion blocks
+    "TwoWayAttentionBlock2",
+    # layout anchors beyond the Megatron pairs: LayerNorm outputs pin the
+    # residual stream wherever it is touched outside a block (CLIP
+    # ln_final feeds the FSDP-sharded text_projection contraction, whose
+    # propagation otherwise width-shards the stream over 'data'); PPEG's
+    # depthwise convs and the MoE dispatch einsums likewise re-derive
+    # activation layouts from param shardings unless anchored
+    "LayerNorm",
+    "PPEG",
+    "MoEFFN",
+})
+
+# Module methods beyond __call__ whose array args/outputs are pinned.
+TP_PIN_METHODS = frozenset({"__call__", "encode_embedding"})
+
+
+def tp_activation_interceptor(mesh: Mesh, axis: str = "model"):
+    """Flax method interceptor pinning residual-stream activation layouts
+    at transformer-block boundaries under tensor parallelism.
+
+    Why: TP here is expressed purely as parameter-sharding annotations
+    (``tp_shardings``) and XLA's sharding propagation chooses activation
+    layouts.  On the 3-D (data, depth, model) mesh, propagation settled on
+    CONFLICTING layouts for the same residual stream — batch-dim-sharded
+    in one use, width-sharded over 'model' in another — and the SPMD
+    partitioner resolved the flip with an "involuntary full
+    rematerialization" (replicate-then-repartition) on every resblock,
+    visible in the MULTICHIP_r04 dryrun tail.  The Megatron contract is
+    that the residual stream between the row-parallel all-reduce and the
+    next column-parallel matmul is NOT feature-sharded; only the
+    *internal* head/hidden activations are.  Pinning block inputs and
+    outputs to (UNCONSTRAINED, ..., None) — feature dim unsharded, batch
+    dims left to propagation — anchors propagation so every use agrees,
+    and the constraint applies to the transpose (backward) program too.
+
+    Use: ``with nn.intercept_methods(tp_activation_interceptor(mesh)):
+    model.apply(...)`` — wired automatically by ``make_train_step`` when
+    ``cfg.tp_axis`` is set.  Numerics are untouched (layout-only).
+    """
+    U = P.UNCONSTRAINED
+
+    def pin(t):
+        if hasattr(t, "ndim") and getattr(t, "ndim", 0) >= 2 \
+                and hasattr(t, "dtype"):
+            spec = P(*([U] * (t.ndim - 1) + [None]))
+            return jax.lax.with_sharding_constraint(
+                t, NamedSharding(mesh, spec))
+        return t
+
+    def interceptor(next_fun, args, kwargs, context):
+        name = type(context.module).__name__
+        if (context.method_name == "__call__"
+                and (name in TP_BLOCK_CLASSES
+                     # the MoE fp32 router Dense: its inputs re-derive a
+                     # layout through the grouped reshape and its outputs
+                     # feed the e-sharded dispatch einsums — anchor both
+                     or getattr(context.module, "name", None) == "router")) \
+                or (context.method_name in TP_PIN_METHODS
+                    and name == "CLIPTextEncoder"):
+            args = tuple(pin(a) for a in args)
+            return jax.tree_util.tree_map(pin, next_fun(*args, **kwargs))
+        return next_fun(*args, **kwargs)
+
+    return interceptor
 
 
 def shard_state_tp(state: Any, mesh: Mesh, axis: str = "model",

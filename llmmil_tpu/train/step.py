@@ -67,6 +67,16 @@ def make_train_step(cfg: Config, donate: bool = True, mesh=None,
             batch_axis="data" if "data" in mesh.axis_names else None)
         pp_apply = base.clone(ci_blocks_fn=blocks_fn).apply
 
+    tp_ax = getattr(cfg, "tp_axis", "")
+    act_interceptor = None
+    if tp_ax and mesh is not None and tp_ax in mesh.axis_names:
+        # pin residual-stream activation layouts at transformer-block
+        # boundaries — without this, GSPMD propagation picks conflicting
+        # layouts and resolves them with involuntary full
+        # rematerialization on every resblock (parallel/tp.py docstring)
+        from ..parallel.tp import tp_activation_interceptor
+        act_interceptor = tp_activation_interceptor(mesh, tp_ax)
+
     ct_axis = cfg.ct_shard_axis or None
     ct_trunk = None
     if ct_axis is not None:
@@ -125,8 +135,13 @@ def make_train_step(cfg: Config, donate: bool = True, mesh=None,
             # MoE FFN blocks sow their Switch load-balance aux loss into
             # the 'moe' collection (models/moe.py)
             mutable = mutable + ["moe"]
-        out, mutated = (pp_apply or state.apply_fn)(
-            variables, batch, train=True, rngs=rngs, mutable=mutable)
+        import contextlib
+        import flax.linen as nn
+        ctx = (nn.intercept_methods(act_interceptor)
+               if act_interceptor is not None else contextlib.nullcontext())
+        with ctx:
+            out, mutated = (pp_apply or state.apply_fn)(
+                variables, batch, train=True, rngs=rngs, mutable=mutable)
         if ext_stats is not None:
             bs = dict(mutated.get("batch_stats", {}))
             bs["extractor_CT"] = ext_stats
