@@ -75,8 +75,9 @@ def _restore_from_torch(state, path: str, cfg: Config):
 def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
              state=None, out_dir: Optional[str] = None,
              mode: Optional[str] = None, ct_depth_shard: int = 0,
-             ct_int8: int = 0, nonct_int8: bool = False, artifact: str = "",
-             export_artifact: str = "") -> Dict:
+             ct_int8: int = 0, nonct_int8: bool = False,
+             attn_int8: bool = False, artifact: str = "",
+             export_artifact: str = "", return_state: bool = False) -> Dict:
     """Run inference over a loader; returns metrics + per-patient table.
 
     ``artifact``: serve from a frozen jax.export artifact
@@ -230,6 +231,14 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     # compiler rejects at flagship size (HTTP 413)
     @jax.jit
     def forward(params, batch_stats, batch, qp, np_):
+        # trace-time flag: the whole body traces inside the context, so
+        # the attention/Nyström matmuls lower to the two-sided dynamic
+        # int8 MXU path (ops/dynquant.py) when requested
+        from ..ops.dynquant import dynamic_int8_attention
+        with dynamic_int8_attention(attn_int8):
+            return _forward_body(params, batch_stats, batch, qp, np_)
+
+    def _forward_body(params, batch_stats, batch, qp, np_):
         variables = {"params": params}
         if batch_stats is not None and jax.tree_util.tree_leaves(
                 batch_stats):
@@ -280,6 +289,11 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
             var_local["batch_stats"] = state.batch_stats
 
         def serve_fn(db):
+            from ..ops.dynquant import dynamic_int8_attention
+            with dynamic_int8_attention(attn_int8):
+                return _serve_body(db)
+
+        def _serve_body(db):
             b = db
             if qpack is not None and "input_CT" in b:
                 from .quant import run_trunk_int8
@@ -365,8 +379,12 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
     # than mean so per-bucket compile outliers don't skew it
     t_mean = float(np.median(times[1:])) if len(times) > 1 else \
         float(times[0])
-    return {"auc": auc, "acc": acc, "precision": float(prec),
-            "recall": float(rec), "threshold": thres,
-            "youden_threshold": youden, "per_sample_time": t_mean,
-            "patients_per_sec": (1.0 / t_mean) if t_mean > 0 else 0.0,
-            "table": df, "csv": csv_path}
+    res = {"auc": auc, "acc": acc, "precision": float(prec),
+           "recall": float(rec), "threshold": thres,
+           "youden_threshold": youden, "per_sample_time": t_mean,
+           "patients_per_sec": (1.0 / t_mean) if t_mean > 0 else 0.0,
+           "table": df, "csv": csv_path}
+    if return_state:
+        res["state"] = state        # for post-hoc maps (scripts/test.py
+                                    # --save_maps) without re-loading
+    return res

@@ -174,11 +174,13 @@ class Aggregator(nn.Module):
                 dtype=self.dtype, name=name)
         raise ValueError(f"unknown aggregator {kind}")
 
-    def _pool(self, mil, tokens, mask, train, bprc=None):
+    def _pool(self, mil, tokens, mask, train, bprc=None,
+              return_attn=False):
         """Run a MIL aggregator, normalising its return to ((B, D), attn)."""
         from .transmil_per_modality import TransMILPerModality
         if isinstance(mil, (TransMIL, TransMILPerModality)):
-            pooled, attn = mil(tokens, mask=mask, train=train)
+            pooled, attn = mil(tokens, mask=mask, train=train,
+                               return_attn=return_attn)
             return pooled, attn
         if isinstance(mil, ABMILv2):
             pooled, attn = mil(tokens, bprc, mask=mask, train=train)
@@ -314,6 +316,9 @@ class Aggregator(nn.Module):
         attns = []
         emb_ct2ci = emb_pth2ci = None
         ct_emb_mask = pth_emb_mask = None
+        pth_token_span = None       # (start, len, total) of the bag-instance
+                                    # tokens inside x0 (eval/saliency.py
+                                    # slices MIL attention rows with it)
         if has_ct and has_pth:
             if c.separate_CI_encoders:
                 tw_ct = twoway("TwoWayTransformer_CT")
@@ -347,6 +352,9 @@ class Aggregator(nn.Module):
             masks = [ct_emb_mask, ci2ct_mask, pth_emb_mask, ci2pth_mask]
             x0 = jnp.concatenate(streams, axis=1)
             x0_mask = mask_or_ones(streams, masks)
+            if ab != "pathology":   # x_ci2pth = TwoWay keys, 1 per instance
+                pth_token_span = (x0.shape[1] - x_ci2pth.shape[1],
+                                  x_ci2pth.shape[1], x0.shape[1])
         elif has_ct:
             tw = twoway("TwoWayTransformer_CT")
             ci_ct = tanh_proj(x_ci, "fc_CI2CT")
@@ -362,6 +370,9 @@ class Aggregator(nn.Module):
             streams = [emb_pth2ci, x_ci2pth]
             x0 = jnp.concatenate(streams, axis=1)
             x0_mask = mask_or_ones(streams, [pth_emb_mask, ci2pth_mask])
+            if ab != "pathology":
+                pth_token_span = (x0.shape[1] - x_ci2pth.shape[1],
+                                  x_ci2pth.shape[1], x0.shape[1])
         else:                                            # CI-only
             x0 = tanh_proj(x_ci, "fc_CI")
             x0_mask = None
@@ -376,7 +387,8 @@ class Aggregator(nn.Module):
             if mil is None:
                 pooled = tokens.mean(axis=1)
             else:
-                pooled, attn = self._pool(mil, tokens, mask, train, bprc)
+                pooled, attn = self._pool(mil, tokens, mask, train, bprc,
+                                          return_attn)
                 if return_attn:
                     attns.append(attn)
             logits = nn.Dense(c.num_classes, dtype=dt, name=head_name)(
@@ -404,6 +416,10 @@ class Aggregator(nn.Module):
             outputs["emb_Pth2CI"] = emb_pth2ci
         if return_attn:
             outputs["attns"] = attns
+            if pth_token_span is not None:
+                # static ints (trace-time shapes) — consumers slice the
+                # fused head's attention keys to the bag instances
+                outputs["pth_token_span"] = pth_token_span
         return outputs
 
 

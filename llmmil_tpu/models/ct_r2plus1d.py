@@ -22,11 +22,17 @@ class _Conv2Plus1D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "dfold"
     fwd_lowering: str = "conv3d"
+    # torchvision computes midplanes ONCE per block from (inplanes,
+    # planes) and reuses it for conv2 (video/resnet.py BasicBlock) —
+    # deriving it from each conv's own input width diverges on the
+    # stage-transition blocks (in != out) and breaks checkpoint import
+    mid: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_f = x.shape[-1]
-        mid = (in_f * self.features * 3 * 3 * 3) // (
+        mid = self.mid if self.mid is not None else (
+            in_f * self.features * 3 * 3 * 3) // (
             in_f * 3 * 3 + 3 * self.features)
         y = _ConvBN(mid, (1, 3, 3), (1, self.stride, self.stride),
                     (0, 1, 1), dtype=self.dtype, name="spatial")(x, train)
@@ -69,14 +75,18 @@ class _R2Plus1DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        in_f = x.shape[-1]
+        mid = (in_f * self.features * 3 * 3 * 3) // (
+            in_f * 3 * 3 + 3 * self.features)
         y = _Conv2Plus1D(self.features, self.stride, self.dtype,
-                         self.temporal_mode, self.fwd_lowering,
+                         self.temporal_mode, self.fwd_lowering, mid=mid,
                          name="conv1")(x, train)
         y = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  name="bn1")(y))
         y = _Conv2Plus1D(self.features, 1, self.dtype, self.temporal_mode,
-                         self.fwd_lowering, name="conv2")(y, train)
+                         self.fwd_lowering, mid=mid,
+                         name="conv2")(y, train)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         if x.shape[-1] != self.features or self.stride != 1:
@@ -103,6 +113,8 @@ class Resnet2plus1D_18(nn.Module):
     dtype: jnp.dtype = jnp.float32
     temporal_mode: str = "auto"
     fwd_lowering: str = "conv3d"
+    layers: tuple = (2, 2, 2, 2)     # blocks per stage (18-layer default;
+                                     # smaller for tests/dry-runs)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -120,8 +132,9 @@ class Resnet2plus1D_18(nn.Module):
         block = _R2Plus1DBlock
         if self.remat:
             block = nn.remat(_R2Plus1DBlock, static_argnums=(2,))
-        for i, feats in enumerate((64, 128, 256, 512)):
-            for b in range(2):
+        for i, (feats, n_blocks) in enumerate(
+                zip((64, 128, 256, 512), self.layers)):
+            for b in range(n_blocks):
                 stride = 2 if (i > 0 and b == 0) else 1
                 x = block(feats, stride, self.dtype, self.temporal_mode,
                           self.fwd_lowering,

@@ -45,7 +45,9 @@ import numpy as np
 
 from ..config import Config
 from .clip_text import CLIPTextConfig, convert_torch_clip_state_dict
-from .torch_import import convert_medicalnet_state_dict, convert_resnet_mc3_18
+from .torch_import import (convert_medicalnet_state_dict,
+                           convert_mvit_v2_state_dict,
+                           convert_r2plus1d_18, convert_resnet_mc3_18)
 
 
 def _np(v):
@@ -209,9 +211,27 @@ def _convert_ct_extractor(t: _Taker, cfg: Config) -> Tuple[Dict, Dict]:
         return convert_resnet_mc3_18(t.take_prefix(pre + "model."), ds)
     if cfg.model_CT == "medicalNet":
         return convert_medicalnet_state_dict(t.take_prefix(pre))
+    if cfg.model_CT == "resnet2plus1d_18":
+        ds = {"weight": t.take(pre + "downsampling.weight"),
+              "bias": t.take(pre + "downsampling.bias")}
+        return convert_r2plus1d_18(t.take_prefix(pre + "model."), ds)
+    if cfg.model_CT == "MViT":
+        # The wrapper's own TransMIL is dead-on-arrival in the reference:
+        # forward feeds 512-d chunk features into TransMIL(L=768)._fc1 —
+        # a hard shape error (mvit_v2.py:19,28 + dim1/TransMIL.py:57) —
+        # so no trained checkpoint can carry meaningful weights there;
+        # the keys are init-time artifacts.  Our L=512 transmil stays at
+        # its initialisation (reported 'fresh' by the merge).
+        t.bury(lambda k: k.startswith(pre + "TransMIL."))
+        h, w = cfg.ct_shape[1], cfg.ct_shape[2]
+        grid = ((h + 2 * 3 - 7) // 4 + 1, (w + 2 * 3 - 7) // 4 + 1)
+        p, dropped = convert_mvit_v2_state_dict(
+            t.take_prefix(pre + "model."), target_grid=grid)
+        assert not dropped                  # rel_pos_t buried above
+        return {"chunk_mvit": p}, {}
     raise NotImplementedError(
         f"migration for model_CT={cfg.model_CT!r} is not wired: the "
-        "reference loads external MONAI/torchvision assets for this trunk "
+        "reference loads external MONAI/SwinUNETR assets for this trunk "
         "whose schemas are out of scope here; extract features with the "
         "reference and feed them via batch['ct_features'] instead")
 

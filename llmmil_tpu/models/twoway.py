@@ -15,6 +15,7 @@ from typing import Callable
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.dynquant import attn_dot
 from ..ops.masked import masked_softmax
 
 
@@ -55,11 +56,13 @@ class Attention(nn.Module):
             # zero masked value rows so non-finite padding can't poison
             # the attn @ v matmul through 0·NaN
             vh = jnp.where(key_mask[:, None, :, None], vh, 0.0)
-        attn = (qh @ jnp.swapaxes(kh, -1, -2)) / jnp.sqrt(
+        # attn_dot: plain matmuls by default; the serving-only two-sided
+        # dynamic-int8 path under dynamic_int8_attention() (ops/dynquant)
+        attn = attn_dot(qh, jnp.swapaxes(kh, -1, -2), kind="score") / jnp.sqrt(
             jnp.asarray(dh, dtype=qh.dtype))
         m = key_mask[:, None, None, :] if key_mask is not None else None
         attn = masked_softmax(attn, m, axis=-1)
-        out = attn @ vh                                     # (B,H,Nq,dh)
+        out = attn_dot(attn, vh)                            # (B,H,Nq,dh)
         out = jnp.swapaxes(out, 1, 2).reshape(b, -1, internal)
         return nn.Dense(self.embedding_dim, dtype=self.dtype,
                         name="out_proj")(out)

@@ -18,6 +18,8 @@ strategy (SURVEY.md §5).  All matmuls are MXU-shaped (landmarks default 256).
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from .dynquant import attn_dot
 from jax import lax
 
 from .masked import masked_softmax, segment_mean_landmarks
@@ -70,22 +72,38 @@ def nystrom_attention(q, k, v, num_landmarks: int = 256,
     q_l = segment_mean_landmarks(q, num_landmarks, lm_mask)   # (B,H,m,Dh)
     k_l = segment_mean_landmarks(k, num_landmarks, lm_mask)
 
-    sim1 = q @ jnp.swapaxes(k_l, -1, -2)       # (B,H,N,m)
+    # attn_dot: plain matmuls by default; under dynamic_int8_attention()
+    # (serving only) the N-major products take the two-sided dynamic-int8
+    # MXU path (ops/dynquant).  sim2 and the pinv chain stay float: (m,m)
+    # work is negligible and the iterative pinv amplifies rounding.
+    sim1 = attn_dot(q, jnp.swapaxes(k_l, -1, -2), kind="score")       # (B,H,N,m)
     sim2 = q_l @ jnp.swapaxes(k_l, -1, -2)     # (B,H,m,m)
-    sim3 = q_l @ jnp.swapaxes(k, -1, -2)       # (B,H,m,N)
+    sim3 = attn_dot(q_l, jnp.swapaxes(k, -1, -2), kind="score")       # (B,H,m,N)
 
     attn1 = masked_softmax(sim1, None, axis=-1)            # landmarks all valid
     attn2 = masked_softmax(sim2, None, axis=-1)
     attn3 = masked_softmax(sim3, sm_mask, axis=-1)          # keys masked
 
     attn2_inv = moore_penrose_pinv(attn2, pinv_iterations)
-    out = (attn1 @ attn2_inv) @ (attn3 @ v)                 # (B,H,N,Dh)
+    from .dynquant import dynamic_int8_enabled
+    if dynamic_int8_enabled() and not return_attn:
+        # Reassociated chain (matrix associativity): never forms the
+        # (N, m)·(m, m) product — 3× fewer N-major flops at m=256 ≫
+        # Dh=64, and that product was the int8 drift driver (pinv
+        # outputs cancel heavily, so its per-element error is large
+        # RELATIVE to the cancelled result).  Both remaining N-major
+        # products have a softmax-bounded left operand → benign int8.
+        y = attn_dot(attn3, v)                              # (B,H,m,Dh)
+        y = attn2_inv.astype(y.dtype) @ y                   # small, exact
+        return attn_dot(attn1, y), None                     # (B,H,N,Dh)
+    left = attn_dot(attn1, attn2_inv)                       # (B,H,N,m)
+    out = attn_dot(left, attn_dot(attn3, v))                # (B,H,N,Dh)
 
     if return_attn:
         # Factored form (left (B,H,N,m), right (B,H,m,N)): the full product
         # is (B,H,N,N) — ~2 TiB at the 16k-instance production bag — so rows
         # are reconstructed on demand (nystrom_attn_rows / _full below).
-        return out, (attn1 @ attn2_inv, attn3)
+        return out, (left, attn3)
     return out, None
 
 

@@ -42,6 +42,16 @@ def main(argv=None):
                    help="eval with the int8-quantized NON-CT dense stack "
                         "(eval/quant_nonct.py; implies --eval, composes "
                         "with --ct-int8)")
+    p.add_argument("--attn-int8", action="store_true",
+                   help="two-sided dynamic int8 for the attention/"
+                        "Nyström activation GEMMs (ops/dynquant.py; "
+                        "implies --eval, composes with the other int8 "
+                        "modes)")
+    p.add_argument("--json", default="",
+                   help="append the measurement (+ full provenance) to "
+                        "this JSON file — the machine-checkable flagship "
+                        "perf pin (results/flagship_r*.json); a future "
+                        "round diffs it instead of reading prose")
     ns = p.parse_args(argv)
 
     import jax
@@ -112,6 +122,11 @@ def main(argv=None):
             return contextlib.nullcontext()
         return nn.intercept_methods(_int8_interceptor(pack))
 
+    from llmmil_tpu.ops.dynquant import dynamic_int8_attention
+
+    def attn_ctx():
+        return dynamic_int8_attention(ns.attn_int8)
+
     if ns.ct_int8:
         from llmmil_tpu.eval.quant import (calibrate_ct_trunk,
                                            quantize_ct_trunk,
@@ -133,19 +148,19 @@ def main(argv=None):
         def int8_step(state, batch, qpack, npack):
             feat = run_trunk_int8(cfg, qpack, batch["input_CT"], dtype=qdt)
             b2 = {k: v for k, v in batch.items() if k != "input_CT"}
-            with nonct_ctx(npack):
+            with attn_ctx(), nonct_ctx(npack):
                 return estep(state, dict(b2, ct_features=feat))["loss"]
 
         def once(state, batch):
             return int8_step(state, batch, qpack, nonct_pack)
-    elif ns.eval or ns.nonct_int8:
+    elif ns.eval or ns.nonct_int8 or ns.attn_int8:
         estep = make_eval_step(cfg, jit=False)
         from llmmil_tpu.utils import compiler_options_from_cfg
 
         @functools.partial(jax.jit,
                            compiler_options=compiler_options_from_cfg(cfg))
         def eval_step(state, batch, npack):
-            with nonct_ctx(npack):
+            with attn_ctx(), nonct_ctx(npack):
                 return estep(state, batch)["loss"]
 
         def once(state, batch):
@@ -176,10 +191,40 @@ def main(argv=None):
     step_t = (dk - d1) / ns.iters
     mode = (("int8ct+" if ns.ct_int8 else "")
             + ("int8nonct+" if ns.nonct_int8 else "")
-            + ("eval" if (ns.eval or ns.ct_int8 or ns.nonct_int8)
+            + ("int8attn+" if ns.attn_int8 else "")
+            + ("eval" if (ns.eval or ns.ct_int8 or ns.nonct_int8
+                          or ns.attn_int8)
                else "train"))
     print(f"{mode} step: {step_t * 1e3:.1f} ms "
           f"({b / step_t:.2f} samples/s)", flush=True)
+
+    if ns.json:
+        import datetime
+        import json
+        rec = {
+            "mode": mode, "step_ms": round(step_t * 1e3, 2),
+            "samples_per_sec": round(b / step_t, 3),
+            "batch": b, "bag": ns.bag, "depth": ns.depth, "hw": ns.hw,
+            "iters": ns.iters, "remat": ns.remat,
+            "fwd_lowering": ns.fwd_lowering,
+            "ct_int8": bool(ns.ct_int8), "nonct_int8": bool(ns.nonct_int8),
+            "attn_int8": bool(ns.attn_int8),
+            "params_m": round(n_params / 1e6, 1),
+            "backend": jax.default_backend(),
+            "device": jax.devices()[0].device_kind,
+            "jax": jax.__version__,
+            "timestamp": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds"),
+        }
+        rows = []
+        if os.path.exists(ns.json):
+            with open(ns.json) as f:
+                rows = json.load(f)
+        rows.append(rec)
+        os.makedirs(os.path.dirname(ns.json) or ".", exist_ok=True)
+        with open(ns.json, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"pinned -> {ns.json} ({len(rows)} records)", flush=True)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,18 @@ def main(argv=None):
                              "(TwoWay/TransMIL/CLIP GEMMs, "
                              "eval/quant_nonct.py); composes with "
                              "--ct_int8")
+    parser.add_argument("--attn_int8", action="store_true",
+                        help="two-sided DYNAMIC int8 for the attention "
+                             "score/value matmuls and the Nyström chain "
+                             "(activation×activation GEMMs per-row/col "
+                             "runtime scales, ops/dynquant.py); composes "
+                             "with --ct_int8/--nonct_int8")
+    parser.add_argument("--save_maps", action="store_true",
+                        help="after evaluation, write --watch_ID's "
+                             "interpretability map(s) per --map_type "
+                             "(saliencyMap | gradCAM | pathologyAttn | "
+                             "all) under <out_dir>/maps/ "
+                             "(eval/saliency.py)")
     parser.add_argument("--eval_batch", type=int, default=1,
                         help="patients per device batch (beyond reference"
                              " — test_ddp.py:73 forces 1; probs are "
@@ -84,11 +96,18 @@ def main(argv=None):
     else:
         out_dir = os.path.join(cfg.save_dir, "Predictions", "untrained")
 
+    if ns.save_maps and ns.artifact:
+        raise SystemExit("--save_maps differentiates through the live "
+                         "model; it can't combine with --artifact")
     res = evaluate(cfg, loader, checkpoint_path=ckpt, out_dir=out_dir,
                    mode=mode, ct_depth_shard=ns.ct_depth_shard,
                    ct_int8=ns.ct_int8, nonct_int8=ns.nonct_int8,
-                   artifact=ns.artifact,
-                   export_artifact=ns.export_artifact)
+                   attn_int8=ns.attn_int8, artifact=ns.artifact,
+                   export_artifact=ns.export_artifact,
+                   return_state=ns.save_maps)
+    if ns.save_maps:
+        from llmmil_tpu.eval import save_patient_maps
+        save_patient_maps(cfg, res["state"], loader, out_dir)
     print(f"AUC {res['auc']:.4f}  ACC {res['acc']:.4f}  "
           f"prec {res['precision']:.4f}  rec {res['recall']:.4f}  "
           f"thr {res['threshold']:.4f}  "

@@ -599,3 +599,55 @@ def test_converter_rejects_unknown_keys():
     sd["surprise.weight"] = torch.zeros(3, 3)
     with pytest.raises(ValueError, match="schema drift"):
         convert_flagship_state_dict(sd, cfg)
+
+
+def test_trimodal_r2plus1d_checkpoint_structure_maps_exactly():
+    """model_CT='resnet2plus1d_18' flagship checkpoints port end-to-end:
+    the torchvision-schema trunk (hand-built torch mini, tests/
+    test_torch_import.py) + the usual CLIP/TwoWay/TransMIL surface all
+    map; only the CT-Pth-Last aux heads start fresh (VERDICT r4 #4)."""
+    import torch
+    from test_torch_import import _R2P1Trunk
+
+    cfg = Config(model_CT="resnet2plus1d_18", model_CI="CLIP",
+                 aggregator="TransMIL", compute_dtype="float32")
+    n_prompts = cfg.n_clinical + 1
+
+    sd = {"extractor_CT.downsampling.weight":
+          np.zeros((3, 1, 3, 2, 2), np.float32),
+          "extractor_CT.downsampling.bias": np.zeros((3,), np.float32)}
+    torch.manual_seed(0)
+    for k, v in _R2P1Trunk(layers=(2, 2, 2, 2)).state_dict().items():
+        sd[f"extractor_CT.model.{k}"] = v.numpy()
+
+    manifest = {}
+    for k, s in clip_vitb32_text_manifest().items():
+        manifest[f"clinic_extractor.model.{k}"] = s
+    manifest["clinic_extractor.model.visual.conv1.weight"] = (768, 3, 32, 32)
+    manifest["clinic_extractor.model.visual.proj"] = (768, 512)
+    manifest["clinic_extractor.ctx"] = (n_prompts, cfg.n_ctx, 512)
+    for name in ("TwoWayTransformer_CT", "TwoWayTransformer_Pth",
+                 "TwoWayTransformer_Both"):
+        manifest.update(_twoway_keys(name + "."))
+    manifest.update(_lin_keys("fc_CI2CT.0.", 512, 512))
+    manifest.update(_lin_keys("fc_CI2Pth.0.", 512, 512))
+    manifest.update(_lin_keys("fc_CI.0.", 512, 512))
+    manifest.update(_lin_keys("fc_pathology.0.", 768, 512))
+    manifest.update(_transmil_keys("extractor_pathology.", L=512))
+    manifest.update(_transmil_keys("aggregator."))
+    manifest["prompt_embedding"] = (1, 512)
+    manifest.update(_lin_keys("fc.1.", 512, cfg.num_classes))
+    sd.update({k: np.zeros(s, np.float32) for k, s in manifest.items()})
+
+    converted, dropped = convert_flagship_state_dict(sd, cfg)
+    assert not any(k.startswith("extractor_CT.model.layer")
+                   and "num_batches" not in k for k in dropped)
+
+    batch = {"input_CT": jnp.zeros((1, 8, 32, 32, 1)),
+             "input_pathology": jnp.zeros((1, 12, 768)),
+             "input_CI": jnp.zeros((1, n_prompts, 77), jnp.int32)}
+    shapes = jax.eval_shape(
+        lambda: build_model(cfg).init(jax.random.PRNGKey(0), batch))
+    merged, report = merge_reference_checkpoint(dict(shapes), sd, cfg)
+    assert report["fresh"] == ["params/fc_CT/bias", "params/fc_CT/kernel",
+                               "params/fc_Pth/bias", "params/fc_Pth/kernel"]

@@ -162,3 +162,149 @@ def test_medicalnet_weight_import_parity():
     got_ncdhw = np.asarray(got).transpose(0, 4, 1, 2, 3)
     assert got_ncdhw.shape == want.shape
     np.testing.assert_allclose(got_ncdhw, want, atol=2e-4)
+
+
+# ---- R(2+1)D-18 importer ----------------------------------------------------
+# Hand-built torch mirror of torchvision video/resnet.py's r2plus1d_18
+# (Conv2Plus1D Sequential layout incl. the ReLU hole at index 2, block
+# midplanes computed once from (inplanes, planes)), wrapped with the
+# reference's 1→3ch stem + replaced fc head (model/dim3/resnet2plus1D.py).
+
+class _C2P1(tnn.Sequential):
+    def __init__(self, inp, out, mid, stride=1):
+        super().__init__(
+            tnn.Conv3d(inp, mid, (1, 3, 3), (1, stride, stride),
+                       (0, 1, 1), bias=False),
+            tnn.BatchNorm3d(mid), tnn.ReLU(),
+            tnn.Conv3d(mid, out, (3, 1, 1), (stride, 1, 1),
+                       (1, 0, 0), bias=False))
+
+
+class _R2Block(tnn.Module):
+    def __init__(self, inp, out, stride):
+        super().__init__()
+        mid = (inp * out * 3 * 3 * 3) // (inp * 3 * 3 + 3 * out)
+        self.conv1 = tnn.Sequential(_C2P1(inp, out, mid, stride),
+                                    tnn.BatchNorm3d(out), tnn.ReLU())
+        self.conv2 = tnn.Sequential(_C2P1(out, out, mid),
+                                    tnn.BatchNorm3d(out))
+        self.downsample = None
+        if stride != 1 or inp != out:
+            self.downsample = tnn.Sequential(
+                tnn.Conv3d(inp, out, 1, (stride,) * 3, bias=False),
+                tnn.BatchNorm3d(out))
+        self.relu = tnn.ReLU()
+
+    def forward(self, x):
+        y = self.conv2(self.conv1(x))
+        r = self.downsample(x) if self.downsample is not None else x
+        return self.relu(r + y)
+
+
+class _R2P1Trunk(tnn.Module):
+    """torchvision r2plus1d_18 with the reference's replaced fc head."""
+
+    def __init__(self, layers=(1, 1, 1, 1)):
+        super().__init__()
+        self.stem = tnn.Sequential(
+            tnn.Conv3d(3, 45, (1, 7, 7), (1, 2, 2), (0, 3, 3), bias=False),
+            tnn.BatchNorm3d(45), tnn.ReLU(),
+            tnn.Conv3d(45, 64, (3, 1, 1), 1, (1, 0, 0), bias=False),
+            tnn.BatchNorm3d(64), tnn.ReLU())
+        inp = 64
+        for i, (n, c) in enumerate(zip(layers, (64, 128, 256, 512))):
+            blocks = []
+            for b in range(n):
+                stride = 2 if (i > 0 and b == 0) else 1
+                blocks.append(_R2Block(inp, c, stride))
+                inp = c
+            setattr(self, f"layer{i + 1}", tnn.Sequential(*blocks))
+        self.fc = tnn.Sequential(tnn.Linear(512, 512), tnn.ReLU(),
+                                 tnn.Linear(512, 512), tnn.ReLU())
+
+    def forward(self, x):
+        x = self.stem(x)
+        for i in range(4):
+            x = getattr(self, f"layer{i + 1}")(x)
+        x = x.mean(dim=(2, 3, 4))
+        return self.fc(x)
+
+
+def _randomize_bn_stats(mod, gen):
+    for m in mod.modules():
+        if isinstance(m, tnn.BatchNorm3d):
+            m.running_mean.uniform_(-0.3, 0.3, generator=gen)
+            m.running_var.uniform_(0.6, 1.5, generator=gen)
+
+
+def test_r2plus1d_weight_import_parity():
+    from llmmil_tpu.models.ct_r2plus1d import Resnet2plus1D_18
+    from llmmil_tpu.models.torch_import import convert_r2plus1d_18
+
+    torch.manual_seed(0)
+    gen = torch.Generator().manual_seed(1)
+    layers = (1, 1, 1, 1)
+    downsampling = tnn.Conv3d(1, 3, (3, 2, 2), (1, 2, 2), (1, 0, 0))
+    trunk = _R2P1Trunk(layers=layers)
+    _randomize_bn_stats(trunk, gen)
+    downsampling.eval()
+    trunk.eval()
+
+    x = torch.randn(1, 1, 8, 32, 32)
+    with torch.no_grad():
+        want = trunk(downsampling(x)).numpy()            # (1, 512)
+
+    params, stats = convert_r2plus1d_18(
+        trunk.state_dict(),
+        {"weight": downsampling.weight, "bias": downsampling.bias},
+        layers=layers)
+    model = Resnet2plus1D_18(remat=False, temporal_mode="conv3d",
+                             layers=layers)
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))    # NDHWC
+    got = model.apply({"params": params, "batch_stats": stats}, x_j,
+                      train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+    # the folded temporal lowering serves the same imported weights
+    got_fold = Resnet2plus1D_18(
+        remat=False, temporal_mode="dfold", fwd_lowering="fold",
+        layers=layers).apply({"params": params, "batch_stats": stats},
+                             x_j, train=False)
+    np.testing.assert_allclose(np.asarray(got_fold), want, atol=2e-4)
+
+
+def test_r2plus1d_full_depth_tree_matches_init():
+    """Converted full-depth (2,2,2,2) tree is leaf-for-leaf identical in
+    paths AND shapes to the flax init tree (so merge_reference_checkpoint
+    can overwrite every leaf for model_CT='resnet2plus1d_18')."""
+    from llmmil_tpu.models.ct_r2plus1d import Resnet2plus1D_18
+    from llmmil_tpu.models.torch_import import convert_r2plus1d_18
+
+    torch.manual_seed(0)
+    downsampling = tnn.Conv3d(1, 3, (3, 2, 2), (1, 2, 2), (1, 0, 0))
+    trunk = _R2P1Trunk(layers=(2, 2, 2, 2))
+    params, stats = convert_r2plus1d_18(
+        trunk.state_dict(),
+        {"weight": downsampling.weight, "bias": downsampling.bias})
+
+    model = Resnet2plus1D_18(remat=False, temporal_mode="conv3d")
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, 32, 32, 1), jnp.float32),
+                           train=False))
+
+    def flat(tree, pre=""):
+        out = {}
+        for k, v in tree.items():
+            key = f"{pre}/{k}" if pre else k
+            if isinstance(v, dict):
+                out.update(flat(v, key))
+            else:
+                out[key] = tuple(v.shape)
+        return out
+
+    want_p = flat(shapes["params"])
+    got_p = flat(jax.tree_util.tree_map(np.asarray, params))
+    assert got_p == want_p
+    want_s = flat(shapes["batch_stats"])
+    got_s = flat(jax.tree_util.tree_map(np.asarray, stats))
+    assert got_s == want_s

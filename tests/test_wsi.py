@@ -163,6 +163,28 @@ def test_patch_encoder_deterministic_from_seed(capsys):
     assert pos1.shape == (4, 2)
 
 
+def test_patch_encoder_pipelined_matches_serial(capsys):
+    """The double-buffered upload path (VERDICT r4 #6) is a scheduling
+    change only: bag and positions identical to the serial encode_slide
+    loop, including multi-chunk slides with a padded tail."""
+    cfg = _tiny_wsi_cfg()
+    enc = W.PatchEncoder.from_config(cfg, batch=2)   # 4 tiles -> 2 chunks
+    capsys.readouterr()
+    img = np.random.RandomState(5).randint(0, 256, (64, 64, 3),
+                                           dtype=np.uint8)
+    bag_p, pos_p = enc.encode(img, tile=cfg.wsi_tile, pipelined=True)
+    bag_s, pos_s = enc.encode(img, tile=cfg.wsi_tile, pipelined=False)
+    np.testing.assert_array_equal(bag_p, bag_s)
+    np.testing.assert_array_equal(pos_p, pos_s)
+    # odd tile count exercises the padded tail chunk
+    img2 = np.random.RandomState(6).randint(0, 256, (96, 32, 3),
+                                            dtype=np.uint8)   # 3 tiles
+    bag_p2, _ = enc.encode(img2, tile=cfg.wsi_tile, pipelined=True)
+    bag_s2, _ = enc.encode(img2, tile=cfg.wsi_tile, pipelined=False)
+    assert bag_p2.shape[0] == 3
+    np.testing.assert_array_equal(bag_p2, bag_s2)
+
+
 # ---------------------------------------------------------------------------
 # dataset integration: image-only config end to end
 # ---------------------------------------------------------------------------
