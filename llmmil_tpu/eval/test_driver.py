@@ -76,7 +76,8 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
              state=None, out_dir: Optional[str] = None,
              mode: Optional[str] = None, ct_depth_shard: int = 0,
              ct_int8: int = 0, nonct_int8: bool = False,
-             attn_int8: bool = False, artifact: str = "",
+             attn_int8: bool = False, nystrom_assoc: bool = False,
+             artifact: str = "",
              export_artifact: str = "", return_state: bool = False) -> Dict:
     """Run inference over a loader; returns metrics + per-patient table.
 
@@ -235,7 +236,10 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
         # the attention/Nyström matmuls lower to the two-sided dynamic
         # int8 MXU path (ops/dynquant.py) when requested
         from ..ops.dynquant import dynamic_int8_attention
-        with dynamic_int8_attention(attn_int8):
+        ctx = (dynamic_int8_attention(True) if attn_int8 else
+               dynamic_int8_attention(nystrom_assoc,
+                                      reassociate_only=True))
+        with ctx:
             return _forward_body(params, batch_stats, batch, qp, np_)
 
     def _forward_body(params, batch_stats, batch, qp, np_):
@@ -290,7 +294,10 @@ def evaluate(cfg: Config, loader, checkpoint_path: Optional[str] = None,
 
         def serve_fn(db):
             from ..ops.dynquant import dynamic_int8_attention
-            with dynamic_int8_attention(attn_int8):
+            ctx = (dynamic_int8_attention(True) if attn_int8 else
+                   dynamic_int8_attention(nystrom_assoc,
+                                          reassociate_only=True))
+            with ctx:
                 return _serve_body(db)
 
         def _serve_body(db):

@@ -49,8 +49,18 @@ def dynamic_int8_mode() -> str:
 
 
 @contextlib.contextmanager
-def dynamic_int8_attention(enable: bool = True, scores: bool = True):
-    mode = ("all" if scores else "value") if enable else ""
+def dynamic_int8_attention(enable: bool = True, scores: bool = True,
+                           reassociate_only: bool = False):
+    """``reassociate_only``: keep every matmul exact but still take the
+    reassociated Nyström chain (ops/nystrom.py) — the 3× N-major-flop
+    reduction without any quantization (measured A/B lever; the dynamic
+    quantize passes themselves can cost more than the int8 MXU saves)."""
+    if not enable:
+        mode = ""
+    elif reassociate_only:
+        mode = "assoc"
+    else:
+        mode = "all" if scores else "value"
     token = _MODE.set(mode)
     try:
         yield

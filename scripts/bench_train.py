@@ -42,6 +42,10 @@ def main(argv=None):
                    help="eval with the int8-quantized NON-CT dense stack "
                         "(eval/quant_nonct.py; implies --eval, composes "
                         "with --ct-int8)")
+    p.add_argument("--assoc", action="store_true",
+                   help="reassociated Nystrom serving chain with EXACT "
+                        "matmuls (the flop win of --attn-int8 without "
+                        "the quantize passes; implies --eval)")
     p.add_argument("--attn-int8", action="store_true",
                    help="two-sided dynamic int8 for the attention/"
                         "Nyström activation GEMMs (ops/dynquant.py; "
@@ -125,7 +129,9 @@ def main(argv=None):
     from llmmil_tpu.ops.dynquant import dynamic_int8_attention
 
     def attn_ctx():
-        return dynamic_int8_attention(ns.attn_int8)
+        if ns.attn_int8:
+            return dynamic_int8_attention(True)
+        return dynamic_int8_attention(ns.assoc, reassociate_only=True)
 
     if ns.ct_int8:
         from llmmil_tpu.eval.quant import (calibrate_ct_trunk,
@@ -153,7 +159,7 @@ def main(argv=None):
 
         def once(state, batch):
             return int8_step(state, batch, qpack, nonct_pack)
-    elif ns.eval or ns.nonct_int8 or ns.attn_int8:
+    elif ns.eval or ns.nonct_int8 or ns.attn_int8 or ns.assoc:
         estep = make_eval_step(cfg, jit=False)
         from llmmil_tpu.utils import compiler_options_from_cfg
 
@@ -192,8 +198,9 @@ def main(argv=None):
     mode = (("int8ct+" if ns.ct_int8 else "")
             + ("int8nonct+" if ns.nonct_int8 else "")
             + ("int8attn+" if ns.attn_int8 else "")
+            + ("assoc+" if ns.assoc and not ns.attn_int8 else "")
             + ("eval" if (ns.eval or ns.ct_int8 or ns.nonct_int8
-                          or ns.attn_int8)
+                          or ns.attn_int8 or ns.assoc)
                else "train"))
     print(f"{mode} step: {step_t * 1e3:.1f} ms "
           f"({b / step_t:.2f} samples/s)", flush=True)
@@ -208,7 +215,7 @@ def main(argv=None):
             "iters": ns.iters, "remat": ns.remat,
             "fwd_lowering": ns.fwd_lowering,
             "ct_int8": bool(ns.ct_int8), "nonct_int8": bool(ns.nonct_int8),
-            "attn_int8": bool(ns.attn_int8),
+            "attn_int8": bool(ns.attn_int8), "assoc": bool(ns.assoc or ns.attn_int8),
             "params_m": round(n_params / 1e6, 1),
             "backend": jax.default_backend(),
             "device": jax.devices()[0].device_kind,

@@ -37,13 +37,17 @@ import numpy as np
 @contextlib.contextmanager
 def _capture_fd2():
     prev = os.dup(2)
-    with tempfile.TemporaryFile(mode="w+b") as tmp:
-        os.dup2(tmp.fileno(), 2)
-        try:
-            yield tmp
-        finally:
-            os.dup2(prev, 2)
-            os.close(prev)
+    tmp = tempfile.TemporaryFile(mode="w+b")
+    os.dup2(tmp.fileno(), 2)
+    holder = {}
+    try:
+        yield holder
+    finally:
+        os.dup2(prev, 2)
+        os.close(prev)
+        tmp.seek(0)
+        holder["log"] = tmp.read().decode(errors="replace")
+        tmp.close()
 
 
 def main(argv=None):
@@ -101,13 +105,15 @@ def main(argv=None):
           f"bag {batch['input_pathology'].shape}", flush=True)
 
     t0 = time.time()
+    # batch rides as an eval_shape ARGUMENT (closure ShapeDtypeStructs
+    # are not traced — .reshape etc. would fail)
     state_struct = jax.eval_shape(
-        lambda rng: TrainState.create(
+        lambda rng, bt: TrainState.create(
             apply_fn=model.apply,
-            params=(v := model.init(rng, batch, train=False))["params"],
+            params=(v := model.init(rng, bt, train=False))["params"],
             tx=make_optimizer(cfg, None, 100),
             batch_stats=v.get("batch_stats", {})),
-        jax.random.PRNGKey(0))
+        jax.random.PRNGKey(0), batch)
     n_params = sum(np.prod(x.shape) for x in
                    jax.tree_util.tree_leaves(state_struct.params))
     print(f"abstract init {time.time() - t0:.1f}s, "
@@ -127,8 +133,7 @@ def main(argv=None):
     t0 = time.time()
     with _capture_fd2() as cap:
         compiled = lowered.compile()
-    cap.seek(0)
-    log = cap.read().decode(errors="replace")
+    log = cap["log"]
     wall = time.time() - t0
     n_remat = log.count("Involuntary full rematerialization")
     print(f"SPMD partition + compile {wall:.1f}s, "
@@ -143,8 +148,13 @@ def main(argv=None):
               flush=True)
         total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
                  + ma.temp_size_in_bytes) / 2**30
-        print(f"per-device HBM estimate: {total:.2f} GiB "
-              f"(v5e budget 16 GiB)", flush=True)
+        print(f"per-device memory estimate: {total:.2f} GiB — an UPPER "
+              "bound from the CPU backend's buffer assignment (no TPU "
+              "memory-aware scheduling/rematerialization ordering; the "
+              "same config measured ~13 GiB live on one real 16 GiB "
+              "v5e at batch 1 unsharded).  Use it to DIFF against "
+              "previous runs, not as an absolute HBM fit check.",
+              flush=True)
     except Exception as e:                      # backend-dependent API
         print(f"(memory analysis unavailable on this backend: {e})")
 

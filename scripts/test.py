@@ -41,6 +41,11 @@ def main(argv=None):
                              "(TwoWay/TransMIL/CLIP GEMMs, "
                              "eval/quant_nonct.py); composes with "
                              "--ct_int8")
+    parser.add_argument("--nystrom_assoc", action="store_true",
+                        help="serve TransMIL's Nyström chain reassociated "
+                             "as attn1·(pinv·(attn3·v)) — 3× fewer "
+                             "N-major flops, float-exact to matmul "
+                             "reassociation tolerance (ops/nystrom.py)")
     parser.add_argument("--attn_int8", action="store_true",
                         help="two-sided DYNAMIC int8 for the attention "
                              "score/value matmuls and the Nyström chain "
@@ -102,7 +107,8 @@ def main(argv=None):
     res = evaluate(cfg, loader, checkpoint_path=ckpt, out_dir=out_dir,
                    mode=mode, ct_depth_shard=ns.ct_depth_shard,
                    ct_int8=ns.ct_int8, nonct_int8=ns.nonct_int8,
-                   attn_int8=ns.attn_int8, artifact=ns.artifact,
+                   attn_int8=ns.attn_int8,
+                   nystrom_assoc=ns.nystrom_assoc, artifact=ns.artifact,
                    export_artifact=ns.export_artifact,
                    return_state=ns.save_maps)
     if ns.save_maps:

@@ -104,3 +104,21 @@ def test_flagship_eval_probs_within_tolerance():
                                      train=False)["probs"])
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got, want, atol=0.05)
+
+
+def test_reassociate_only_mode_is_float_exact_assoc():
+    """'assoc' mode keeps exact matmuls; only the Nyström chain is
+    reassociated — results match the default path to fp32 matmul-
+    reassociation tolerance (~1e-5), with no quantization error."""
+    from llmmil_tpu.ops.nystrom import nystrom_attention
+    rs = np.random.RandomState(4)
+    b, h, n, dh, m = 1, 2, 64, 16, 16
+    q, k, v = (jnp.asarray(rs.randn(b, h, n, dh), jnp.float32)
+               for _ in range(3))
+    want, _ = nystrom_attention(q, k, v, num_landmarks=m)
+    with dynamic_int8_attention(reassociate_only=True):
+        got, _ = nystrom_attention(q, k, v, num_landmarks=m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    # and no int8 rounding: far tighter than the quantized mode's error
+    assert np.abs(np.asarray(got - want)).max() < 1e-4
